@@ -1,0 +1,17 @@
+"""nero_tpu — a TPU-native neural inverse-rendering framework.
+
+Re-implements the capabilities of NeRO (SIGGRAPH 2023, arXiv 2305.17398):
+a two-stage pipeline that (I) reconstructs the geometry of reflective
+objects as a NeuS-style SDF with a split-sum shading model and (II)
+recovers spatially-varying BRDF (albedo / metallic / roughness) plus
+environment light by Monte-Carlo integration of the rendering equation
+with ray-traced visibility.
+
+Design: JAX/XLA for the compute path (pure-function networks as pytrees,
+fixed-shape masked rendering, `lax`-based control flow), Pallas kernels
+for the hot ops, `jax.sharding`-based data parallelism over the ray axis,
+and native C++ (BVH build, marching cubes, rasterization) for the host
+geometry stack.
+"""
+
+__version__ = "0.1.0"

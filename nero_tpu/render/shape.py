@@ -1,0 +1,377 @@
+"""Stage-I shape renderer: NeuS-style SDF volume rendering with split-sum shading.
+
+Parity target: reference network/renderer.py:63-647 (`NeROShapeRenderer`):
+hierarchical sampling (64 uniform + 4 upsample rounds of 16, clamped inv_s),
+NeuS alpha from SDF section estimates with cosine annealing, NeRF++ outer
+background, AppShadingNetwork colors, alpha compositing, eikonal/occ/init-sdf
+regularisers.
+
+TPU-first redesign (vs the reference's dynamic boolean indexing,
+renderer.py:567-572):
+  * the full [rays, 160] sample lattice is evaluated branch-free — the SDF
+    branch over the 128 inner-lattice samples and the background NeRF over
+    all 160 — and combined with `jnp.where` masks, so every step compiles to
+    one static XLA program that keeps the MXU busy;
+  * the occlusion loss's dynamic subset (renderer.py:535-541) becomes a
+    fixed-size top-k-of-random-scores selection, masked by validity;
+  * RNG is explicit (threaded keys), the step index is a traced scalar so
+    one compiled program serves all steps.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nero_tpu.fields.app_shading import (AppShadingConfig, app_shading_apply,
+                                         shading_config_from_dict)
+from nero_tpu.fields.bg_nerf import BgNeRFConfig, bg_nerf_apply, init_bg_nerf
+from nero_tpu.fields.intersection import get_intersection
+from nero_tpu.fields.sdf import SDFConfig, init_sdf, sdf_apply, sdf_value, sdf_with_grad
+from nero_tpu.fields.variance import init_variance, inv_s as variance_inv_s
+from nero_tpu.fields.app_shading import init_app_shading
+from nero_tpu.ops.sample_pdf import sample_pdf
+from nero_tpu.utils.color import linear_to_srgb
+
+
+class ShapeConfig(NamedTuple):
+    # sampling
+    n_samples: int = 64
+    n_bg_samples: int = 32
+    n_importance: int = 64
+    up_sample_steps: int = 4
+    perturb: float = 1.0
+    anneal_end: int = 50000
+    train_ray_num: int = 512
+    test_ray_num: int = 1024
+    clip_sample_variance: bool = True
+    # variance net
+    std_act: str = "exp"
+    inv_s_init: float = 0.3
+    freeze_inv_s_step: int | None = None
+    # sdf net
+    sdf_n_layers: int = 8
+    sdf_freq: int = 6
+    sdf_d_out: int = 257
+    sdf_bias: float = 0.5
+    geometry_init: bool = True
+    # losses
+    rgb_loss: str = "charbonier"
+    apply_occ_loss: bool = True
+    occ_loss_step: int = 20000
+    occ_loss_max_pn: int = 2048
+    occ_sdf_thresh: float = 0.01
+    # shader
+    shader: AppShadingConfig = AppShadingConfig()
+    fixed_camera: bool = False
+
+    @property
+    def n_inner(self) -> int:
+        return self.n_samples + self.n_importance
+
+    @property
+    def n_total(self) -> int:
+        return self.n_inner + self.n_bg_samples
+
+    @property
+    def sdf_cfg(self) -> SDFConfig:
+        return SDFConfig(d_out=self.sdf_d_out, n_layers=self.sdf_n_layers,
+                         skip=self.sdf_n_layers // 2, multires=self.sdf_freq,
+                         bias=self.sdf_bias, geometric_init=self.geometry_init)
+
+
+def shape_config_from_dict(cfg: dict) -> ShapeConfig:
+    fields = {k: v for k, v in cfg.items() if k in ShapeConfig._fields}
+    fields["shader"] = shading_config_from_dict(cfg.get("shader_config", {}))
+    return ShapeConfig(**fields)
+
+
+def init_shape_params(key, scfg: ShapeConfig):
+    k_sdf, k_bg, k_shader = jax.random.split(key, 3)
+    return {
+        "sdf": init_sdf(k_sdf, scfg.sdf_cfg),
+        "variance": init_variance(scfg.inv_s_init),
+        "bg": init_bg_nerf(k_bg, BgNeRFConfig(rgb_bias_init=math.log(0.5))),
+        "shader": init_app_shading(k_shader, scfg.shader),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical sampling
+# ---------------------------------------------------------------------------
+
+def _upsample_z(rays_o, rays_d, z_vals, sdf, n_new, inv_s):
+    """One NeuS upsample round (reference renderer.py:355-385), deterministic."""
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    radius = jnp.linalg.norm(pts, axis=-1)
+    inside = (radius[:, :-1] < 1.0) | (radius[:, 1:] < 1.0)
+
+    prev_sdf, next_sdf = sdf[:, :-1], sdf[:, 1:]
+    prev_z, next_z = z_vals[:, :-1], z_vals[:, 1:]
+    mid_sdf = (prev_sdf + next_sdf) * 0.5
+    cos_val = (next_sdf - prev_sdf) / (next_z - prev_z + 1e-5)
+    prev_cos = jnp.concatenate([jnp.zeros_like(cos_val[:, :1]), cos_val[:, :-1]], axis=-1)
+    cos_val = jnp.minimum(prev_cos, cos_val)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside.astype(sdf.dtype)
+
+    dist = next_z - prev_z
+    prev_esti = mid_sdf - cos_val * dist * 0.5
+    next_esti = mid_sdf + cos_val * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_esti * inv_s)
+    next_cdf = jax.nn.sigmoid(next_esti * inv_s)
+    alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+    trans = jnp.cumprod(jnp.concatenate(
+        [jnp.ones_like(alpha[:, :1]), 1.0 - alpha + 1e-7], axis=-1), axis=-1)[:, :-1]
+    weights = alpha * trans
+    return sample_pdf(z_vals, weights, n_new, key=None)
+
+
+def sample_z_vals(params, scfg: ShapeConfig, rays_o, rays_d, near, far, key=None,
+                  perturb: float = 1.0):
+    """Inner z values [R, n_inner] + background z values [R, n_bg]; detached."""
+    r = rays_o.shape[0]
+    sn = scfg.n_samples
+    z = jnp.linspace(0.0, 1.0, sn, dtype=rays_o.dtype)
+    z_vals = near + (far - near) * z[None, :]
+
+    z_out_lin = jnp.linspace(1e-3, 1.0 - 1.0 / (scfg.n_bg_samples + 1.0), scfg.n_bg_samples,
+                             dtype=rays_o.dtype)
+    if perturb > 0 and key is not None:
+        k1, k2 = jax.random.split(key)
+        t_rand = jax.random.uniform(k1, (r, 1)) - 0.5
+        z_vals = z_vals + t_rand * 2.0 / sn
+        mids = 0.5 * (z_out_lin[1:] + z_out_lin[:-1])
+        upper = jnp.concatenate([mids, z_out_lin[-1:]])
+        lower = jnp.concatenate([z_out_lin[:1], mids])
+        t2 = jax.random.uniform(k2, (r, scfg.n_bg_samples))
+        z_out = lower[None, :] + (upper - lower)[None, :] * t2
+    else:
+        z_out = jnp.broadcast_to(z_out_lin[None, :], (r, scfg.n_bg_samples))
+
+    z_vals_outside = far / jnp.flip(z_out, axis=-1) + 1.0 / scfg.n_bg_samples
+
+    # Upsample rounds (no gradient flows back through the proposal machinery).
+    n_new = scfg.n_importance // scfg.up_sample_steps
+    base_inv_s = variance_inv_s(params["variance"], scfg.std_act)
+    sdf = sdf_value(params["sdf"], rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None],
+                    scfg.sdf_cfg)[..., 0]
+    for i in range(scfg.up_sample_steps):
+        if scfg.clip_sample_variance:
+            inv_s_i = jnp.minimum(base_inv_s, 64.0 * 2 ** i)
+        else:
+            inv_s_i = jnp.asarray(64.0 * 2 ** i, rays_o.dtype)
+        new_z = _upsample_z(rays_o, rays_d, z_vals, sdf, n_new, inv_s_i)
+        z_vals = jnp.concatenate([z_vals, new_z], axis=-1)
+        order = jnp.argsort(z_vals, axis=-1)
+        z_vals = jnp.take_along_axis(z_vals, order, axis=-1)
+        if i + 1 < scfg.up_sample_steps:
+            new_pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z[..., None]
+            new_sdf = sdf_value(params["sdf"], new_pts, scfg.sdf_cfg)[..., 0]
+            sdf = jnp.take_along_axis(jnp.concatenate([sdf, new_sdf], axis=-1), order, axis=-1)
+
+    return jax.lax.stop_gradient(z_vals), jax.lax.stop_gradient(z_vals_outside)
+
+
+# ---------------------------------------------------------------------------
+# Core rendering
+# ---------------------------------------------------------------------------
+
+def compute_sdf_alpha(params, scfg: ShapeConfig, points, dists, dirs, cos_anneal_ratio, step):
+    """NeuS alpha on the inner lattice. points [R,S,3]. Returns alpha, grads, feats, inv_s, sdf."""
+    sdf, feats, grads = sdf_with_grad(params["sdf"], points, scfg.sdf_cfg)
+    sdf = sdf[..., 0]
+    inv_s = jnp.clip(variance_inv_s(params["variance"], scfg.std_act), 1e-6, 1e6)
+    if scfg.freeze_inv_s_step is not None:
+        inv_s = jnp.where(step < scfg.freeze_inv_s_step, jax.lax.stop_gradient(inv_s), inv_s)
+
+    true_cos = jnp.sum(dirs * grads, axis=-1)
+    iter_cos = -(jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+                 + jax.nn.relu(-true_cos) * cos_anneal_ratio)
+
+    est_next = sdf + iter_cos * dists * 0.5
+    est_prev = sdf - iter_cos * dists * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    return alpha, grads, feats, inv_s, sdf
+
+
+def compute_density_alpha(params, points, dists, dirs):
+    """Background NeRF++ alpha/color on arbitrary points (any radius)."""
+    norm = jnp.maximum(jnp.linalg.norm(points, axis=-1, keepdims=True), 1e-3)
+    pts4 = jnp.concatenate([points / norm, 1.0 / norm], axis=-1)
+    density, color = bg_nerf_apply(params["bg"], pts4, dirs)
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(density[..., 0]) * dists)
+    color = linear_to_srgb(jnp.exp(jnp.minimum(color, 5.0)))
+    return alpha, color
+
+
+def _composite(alpha):
+    """alpha [R,S] -> weights [R,S] with NeuS transmittance."""
+    trans = jnp.cumprod(jnp.concatenate(
+        [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-7], axis=-1), axis=-1)[..., :-1]
+    return alpha * trans
+
+
+def compute_occ_loss(params, scfg: ShapeConfig, key, points, reflective, occ_prob,
+                     sdf, grads, dirs, step):
+    """Fixed-shape occlusion-probability supervision (reference renderer.py:522-548)."""
+    m = points.shape[0] * points.shape[1]
+    pts = points.reshape(m, 3)
+    refl = reflective.reshape(m, 3)
+    occ = occ_prob.reshape(m)
+    sdf_f = sdf.reshape(m)
+    grads_f = grads.reshape(m, 3)
+    dirs_f = dirs.reshape(m, 3)
+
+    mask = ((jnp.linalg.norm(pts, axis=-1) < 0.999)
+            & (jnp.abs(sdf_f) < scfg.occ_sdf_thresh)
+            & (jnp.sum(grads_f * dirs_f, axis=-1) < 0.0))
+    score = jnp.where(mask, jax.random.uniform(key, (m,)), -1.0)
+    k = min(scfg.occ_loss_max_pn, m)
+    top_vals, top_idx = jax.lax.top_k(score, k)
+    valid = top_vals > 0.0
+
+    pts_k = pts[top_idx]
+    refl_k = refl[top_idx]
+    occ_k = occ[top_idx]
+
+    inv_s = variance_inv_s(params["variance"], scfg.std_act)
+    sdf_fun = lambda x: sdf_value(params["sdf"], x, scfg.sdf_cfg)
+    _, inter_prob, _ = get_intersection(sdf_fun, inv_s, pts_k, refl_k, sn0=64, sn1=16)
+    occ_gt = jnp.sum(inter_prob, axis=-1)
+    l1 = jnp.abs(occ_k - occ_gt)
+    return jnp.sum(l1 * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def render_core(params, scfg: ShapeConfig, fg_lut, rays_o, rays_d, z_full, human_poses,
+                cos_anneal_ratio, step, is_train: bool, key=None):
+    """z_full [R, n_total] (inner z then bg z). Returns the outputs dict."""
+    r, s_total = z_full.shape
+    s_inner = scfg.n_inner
+
+    dists = z_full[..., 1:] - z_full[..., :-1]
+    dists = jnp.concatenate([dists, dists[..., -1:]], axis=-1)
+    mid_z = z_full + dists * 0.5
+
+    points = rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., None]  # [R,S,3]
+    inner_mask = jnp.linalg.norm(points, axis=-1) <= 1.0                  # [R,S]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], points.shape)
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+
+    # --- background branch (all samples) ---
+    alpha_bg, color_bg = compute_density_alpha(params, points, dists, -dirs)
+
+    # --- inner SDF branch (first n_inner samples) ---
+    pts_in = points[:, :s_inner]
+    dists_in = dists[:, :s_inner]
+    dirs_in = dirs[:, :s_inner]
+    alpha_sdf, grads, feats, inv_s, sdf = compute_sdf_alpha(
+        params, scfg, pts_in, dists_in, dirs_in, cos_anneal_ratio, step)
+    hp_in = jnp.broadcast_to(human_poses[:, None], (r, s_inner, 3, 4))
+    color_sdf, occ_info = app_shading_apply(
+        params["shader"], scfg.shader, fg_lut, pts_in, grads, -dirs_in, feats, hp_in)
+
+    inner_in = inner_mask[:, :s_inner]
+    alpha = alpha_bg.at[:, :s_inner].set(
+        jnp.where(inner_in, alpha_sdf, alpha_bg[:, :s_inner]))
+    color = color_bg.at[:, :s_inner].set(
+        jnp.where(inner_in[..., None], color_sdf, color_bg[:, :s_inner]))
+
+    weights = _composite(alpha)
+    ray_rgb = jnp.sum(color * weights[..., None], axis=1)
+
+    # eikonal over inner-lattice inside points (masked mean)
+    grad_err = (jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2
+    n_inside = jnp.maximum(jnp.sum(inner_in), 1.0)
+    gradient_error = jnp.sum(grad_err * inner_in) / n_inside
+
+    outputs = {
+        "ray_rgb": ray_rgb,
+        "gradient_error": gradient_error.reshape(1),
+        "std": jnp.mean(1.0 / inv_s).reshape(1),
+    }
+
+    # init-SDF regulariser inputs (first 1000 steps; loss module weights by step)
+    outputs["sdf_pts_norm"] = jnp.linalg.norm(pts_in, axis=-1).reshape(-1)
+    outputs["sdf_vals"] = sdf.reshape(-1)
+
+    if scfg.apply_occ_loss and is_train:
+        def occ_branch(_):
+            return compute_occ_loss(params, scfg, key, pts_in, occ_info["reflective"],
+                                    occ_info["occ_prob"][..., 0], sdf, grads, dirs_in, step)
+        loss_occ = jax.lax.cond(step >= scfg.occ_loss_step, occ_branch,
+                                lambda _: jnp.zeros(()), operand=None)
+        outputs["loss_occ"] = loss_occ.reshape(1)
+
+    if not is_train:
+        outputs.update(compute_validation_info(
+            params, scfg, fg_lut, z_full, rays_o, rays_d, weights, human_poses))
+    return outputs
+
+
+def compute_validation_info(params, scfg: ShapeConfig, fg_lut, z_vals, rays_o, rays_d,
+                            weights, human_poses):
+    """Depth/normal/material maps + traced occ-prob gt (reference renderer.py:465-482)."""
+    depth = jnp.sum(weights * z_vals, axis=-1, keepdims=True)
+    points = depth * rays_d + rays_o
+    sdf, feats, grads = sdf_with_grad(params["sdf"], points, scfg.sdf_cfg)
+    inner = (jnp.linalg.norm(points, axis=-1, keepdims=True) <= 1.0).astype(points.dtype)
+    normal = (grads / jnp.maximum(jnp.linalg.norm(grads, axis=-1, keepdims=True), 1e-12)
+              + 1.0) * 0.5 * inner
+
+    view = -rays_d / jnp.maximum(jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-12)
+    _, occ_info, inter = app_shading_apply(params["shader"], scfg.shader, fg_lut,
+                                           points, grads, view, feats, human_poses,
+                                           inter_results=True)
+    inv_s = variance_inv_s(params["variance"], scfg.std_act)
+    sdf_fun = lambda x: sdf_value(params["sdf"], x, scfg.sdf_cfg)
+    _, occ_prob, _ = get_intersection(sdf_fun, inv_s, points, occ_info["reflective"],
+                                      sn0=128, sn1=9)
+    outputs = {"depth": depth, "normal": normal,
+               "occ_prob_gt": jnp.sum(occ_prob, axis=-1, keepdims=True)}
+    for k, v in inter.items():
+        outputs[k] = v * inner
+    return outputs
+
+
+def render(params, scfg: ShapeConfig, fg_lut, rays_o, rays_d, near, far, human_poses,
+           step, key=None, is_train: bool = True, perturb_overwrite: float = -1.0,
+           cos_anneal_ratio=None):
+    """Full Stage-I render of a ray batch. step may be a traced scalar."""
+    perturb = scfg.perturb if perturb_overwrite < 0 else perturb_overwrite
+    if cos_anneal_ratio is None:
+        if scfg.anneal_end < 0:
+            cos_anneal_ratio = 1.0
+        else:
+            cos_anneal_ratio = jnp.minimum(1.0, step / scfg.anneal_end)
+    if key is not None:
+        k_sample, k_occ = jax.random.split(key)
+    else:
+        k_sample = k_occ = None
+    z_inner, z_out = sample_z_vals(params, scfg, rays_o, rays_d, near, far,
+                                   key=k_sample if perturb > 0 else None, perturb=perturb)
+    z_full = jnp.concatenate([z_inner, z_out], axis=-1)
+    return render_core(params, scfg, fg_lut, rays_o, rays_d, z_full, human_poses,
+                       cos_anneal_ratio, step, is_train, key=k_occ)
+
+
+# ---------------------------------------------------------------------------
+# RGB losses
+# ---------------------------------------------------------------------------
+
+def compute_rgb_loss(rgb_pr, rgb_gt, kind: str = "charbonier"):
+    if kind == "l2":
+        return jnp.sum((rgb_pr - rgb_gt) ** 2, axis=-1)
+    if kind == "l1":
+        return jnp.sum(jnp.abs(rgb_pr - rgb_gt), axis=-1)
+    if kind == "smooth_l1":
+        beta = 0.25
+        d = jnp.abs(rgb_pr - rgb_gt)
+        return jnp.sum(jnp.where(d < beta, 0.5 * d ** 2 / beta, d - 0.5 * beta), axis=-1)
+    if kind == "charbonier":
+        eps = 0.001
+        return jnp.sqrt(jnp.sum((rgb_gt - rgb_pr) ** 2, axis=-1) + eps)
+    raise NotImplementedError(kind)

@@ -1,0 +1,16 @@
+import os
+import sys
+
+# Tests run on CPU with a virtual 8-device mesh so sharding paths are exercised
+# without TPU hardware. The container's sitecustomize pins JAX_PLATFORMS=axon
+# (the TPU tunnel), so the env var alone is not enough — we must also flip the
+# config after import. XLA_FLAGS must be set before the CPU client initialises.
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
