@@ -45,6 +45,7 @@ def rays_from_pixels(coords_xy: jnp.ndarray, K_inv: jnp.ndarray, poses: jnp.ndar
     rays_d = jnp.einsum("...ji,...j->...i", R, d_cam)  # R^T d
     rays_d = rays_d / jnp.maximum(jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-12)
     rays_o = -jnp.einsum("...ji,...j->...i", R, t)
+    rays_o = jnp.broadcast_to(rays_o, rays_d.shape)
     near, far = near_far_from_sphere(rays_o, rays_d)
     return rays_o, rays_d, near, far
 

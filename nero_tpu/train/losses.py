@@ -75,7 +75,7 @@ def init_sdf_reg_loss(data_pr, data_gt, step, cfg):
     large_loss = jnp.sum(large_vec) / (active + 1e-3)
 
     anneal = (jnp.cos(jnp.clip(step / reg_step, 0.0, 1.0) * math.pi) + 1.0) / 2.0
-    gate = (step < reg_step).astype(sdf.dtype)
+    gate = jnp.asarray(step < reg_step, dtype=sdf.dtype)
     return {"loss_sdf_large": (large_loss * anneal * gate).reshape(1),
             "loss_sdf_small": (small_loss * anneal * gate).reshape(1)}
 
