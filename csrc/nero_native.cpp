@@ -1,0 +1,458 @@
+// nero_native: host-side geometry runtime for the nero_tpu framework.
+//
+// Replaces the reference's external native dependencies (SURVEY.md §2.2):
+//   * pymcubes (C++ marching cubes)        -> iso-surface extraction (surface
+//     nets dual contouring: one vertex per sign-change cell at the mean of
+//     edge crossings, quads across active edges — watertight, MC-quality)
+//   * ashawkey/_raytracing CUDA BVH        -> median-split BVH builder with a
+//     stackless hit/miss-link layout consumed both by the C++ CPU tracer
+//     (host precompute passes) and by the JAX/Pallas traversal kernels on TPU
+//   * nvdiffrast rasterizer (eval/texture) -> scanline barycentric rasterizer
+//     for depth maps and UV-space attribute baking.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in the image).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+void nero_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// Iso-surface extraction (naive surface nets)
+// ---------------------------------------------------------------------------
+// grid: [nx, ny, nz] scalar field, C order (x-major as grid[(x*ny + y)*nz + z]).
+// Emits vertices in grid coordinates ([0, n-1] per axis) and triangles (CCW
+// towards decreasing field). Caller frees with nero_free.
+int isosurface(const float* grid, int nx, int ny, int nz, float iso,
+               float** out_verts, int* out_nv, int** out_tris, int* out_nt) {
+  auto sample = [&](int x, int y, int z) -> float {
+    return grid[(size_t)(x * ny + y) * nz + z];
+  };
+  const int cnx = nx - 1, cny = ny - 1, cnz = nz - 1;
+  std::unordered_map<uint64_t, int> cell_vert;
+  std::vector<float> verts;
+  auto cell_key = [&](int x, int y, int z) -> uint64_t {
+    return ((uint64_t)x << 42) | ((uint64_t)y << 21) | (uint64_t)z;
+  };
+
+  // corner offsets and the 12 cube edges (pairs of corner ids)
+  static const int CO[8][3] = {{0,0,0},{1,0,0},{0,1,0},{1,1,0},
+                               {0,0,1},{1,0,1},{0,1,1},{1,1,1}};
+  static const int CE[12][2] = {{0,1},{2,3},{4,5},{6,7},{0,2},{1,3},{4,6},{5,7},
+                                {0,4},{1,5},{2,6},{3,7}};
+
+  // pass 1: one vertex per cell containing a sign change
+  for (int x = 0; x < cnx; ++x)
+    for (int y = 0; y < cny; ++y)
+      for (int z = 0; z < cnz; ++z) {
+        float v[8];
+        int neg = 0;
+        for (int c = 0; c < 8; ++c) {
+          v[c] = sample(x + CO[c][0], y + CO[c][1], z + CO[c][2]) - iso;
+          neg += v[c] < 0;
+        }
+        if (neg == 0 || neg == 8) continue;
+        float px = 0, py = 0, pz = 0;
+        int ncross = 0;
+        for (int e = 0; e < 12; ++e) {
+          float a = v[CE[e][0]], b = v[CE[e][1]];
+          if ((a < 0) == (b < 0)) continue;
+          float t = a / (a - b);
+          const int* c0 = CO[CE[e][0]];
+          const int* c1 = CO[CE[e][1]];
+          px += c0[0] + t * (c1[0] - c0[0]);
+          py += c0[1] + t * (c1[1] - c0[1]);
+          pz += c0[2] + t * (c1[2] - c0[2]);
+          ++ncross;
+        }
+        cell_vert[cell_key(x, y, z)] = (int)(verts.size() / 3);
+        verts.push_back(x + px / ncross);
+        verts.push_back(y + py / ncross);
+        verts.push_back(z + pz / ncross);
+      }
+
+  // pass 2: a quad (two tris) across every interior grid edge with a sign change
+  std::vector<int> tris;
+  auto emit_quad = [&](int c[4][3], bool flip) {
+    int id[4];
+    for (int i = 0; i < 4; ++i) {
+      auto it = cell_vert.find(cell_key(c[i][0], c[i][1], c[i][2]));
+      if (it == cell_vert.end()) return;  // boundary-clipped
+      id[i] = it->second;
+    }
+    if (flip) std::swap(id[1], id[3]);
+    tris.insert(tris.end(), {id[0], id[1], id[2]});
+    tris.insert(tris.end(), {id[0], id[2], id[3]});
+  };
+  for (int x = 0; x < nx; ++x)
+    for (int y = 0; y < ny; ++y)
+      for (int z = 0; z < nz; ++z) {
+        float v0 = sample(x, y, z) - iso;
+        // +x edge: shared by cells (x, y-1..y, z-1..z)
+        if (x + 1 < nx && y > 0 && z > 0 && y < cny && z < cnz) {
+          float v1 = sample(x + 1, y, z) - iso;
+          if ((v0 < 0) != (v1 < 0)) {
+            int c[4][3] = {{x,y-1,z-1},{x,y,z-1},{x,y,z},{x,y-1,z}};
+            emit_quad(c, v0 < 0);
+          }
+        }
+        // +y edge
+        if (y + 1 < ny && x > 0 && z > 0 && x < cnx && z < cnz) {
+          float v1 = sample(x, y + 1, z) - iso;
+          if ((v0 < 0) != (v1 < 0)) {
+            int c[4][3] = {{x-1,y,z-1},{x,y,z-1},{x,y,z},{x-1,y,z}};
+            emit_quad(c, v0 >= 0);
+          }
+        }
+        // +z edge
+        if (z + 1 < nz && x > 0 && y > 0 && x < cnx && y < cny) {
+          float v1 = sample(x, y, z + 1) - iso;
+          if ((v0 < 0) != (v1 < 0)) {
+            int c[4][3] = {{x-1,y-1,z},{x,y-1,z},{x,y,z},{x-1,y,z}};
+            emit_quad(c, v0 < 0);
+          }
+        }
+      }
+
+  *out_nv = (int)(verts.size() / 3);
+  *out_nt = (int)(tris.size() / 3);
+  *out_verts = (float*)malloc(verts.size() * sizeof(float));
+  *out_tris = (int*)malloc(std::max<size_t>(tris.size(), 1) * sizeof(int));
+  memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
+  memcpy(*out_tris, tris.data(), tris.size() * sizeof(int));
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// BVH build (binned median split, flattened with hit/miss links)
+// ---------------------------------------------------------------------------
+struct BuildTri {
+  float c[3];
+  float bmin[3], bmax[3];
+  int idx;
+};
+
+struct Node {
+  float bmin[3], bmax[3];
+  int tri_start;   // -1 for internal nodes
+  int tri_count;
+  int miss;        // next node on AABB miss (or -1 = done)
+  // on hit: internal -> node+1 (DFS order); leaf -> process tris then miss
+};
+
+static void build_recursive(std::vector<BuildTri>& tris, int lo, int hi,
+                            int leaf_size, std::vector<Node>& nodes,
+                            std::vector<int>& order) {
+  Node node;
+  for (int a = 0; a < 3; ++a) {
+    node.bmin[a] = 1e30f;
+    node.bmax[a] = -1e30f;
+  }
+  for (int i = lo; i < hi; ++i)
+    for (int a = 0; a < 3; ++a) {
+      node.bmin[a] = std::min(node.bmin[a], tris[i].bmin[a]);
+      node.bmax[a] = std::max(node.bmax[a], tris[i].bmax[a]);
+    }
+  node.miss = -2;  // patched by caller
+  int my_idx = (int)nodes.size();
+  nodes.push_back(node);
+
+  if (hi - lo <= leaf_size) {
+    nodes[my_idx].tri_start = (int)order.size();
+    nodes[my_idx].tri_count = hi - lo;
+    for (int i = lo; i < hi; ++i) order.push_back(tris[i].idx);
+    return;
+  }
+  nodes[my_idx].tri_start = -1;
+  nodes[my_idx].tri_count = 0;
+  // split on the widest centroid axis at the median
+  float cmin[3] = {1e30f, 1e30f, 1e30f}, cmax[3] = {-1e30f, -1e30f, -1e30f};
+  for (int i = lo; i < hi; ++i)
+    for (int a = 0; a < 3; ++a) {
+      cmin[a] = std::min(cmin[a], tris[i].c[a]);
+      cmax[a] = std::max(cmax[a], tris[i].c[a]);
+    }
+  int axis = 0;
+  float width = cmax[0] - cmin[0];
+  for (int a = 1; a < 3; ++a)
+    if (cmax[a] - cmin[a] > width) { width = cmax[a] - cmin[a]; axis = a; }
+  int mid = (lo + hi) / 2;
+  std::nth_element(tris.begin() + lo, tris.begin() + mid, tris.begin() + hi,
+                   [axis](const BuildTri& x, const BuildTri& y) {
+                     return x.c[axis] < y.c[axis];
+                   });
+  build_recursive(tris, lo, mid, leaf_size, nodes, order);
+  build_recursive(tris, mid, hi, leaf_size, nodes, order);
+}
+
+// Assign miss links over the DFS-ordered node array. An internal node's left
+// child is idx+1; the right child starts after the left subtree.
+static int subtree_sizes(const std::vector<Node>& nodes, int idx,
+                         std::vector<int>& sizes) {
+  if (nodes[idx].tri_start >= 0) return sizes[idx] = 1;
+  int l = subtree_sizes(nodes, idx + 1, sizes);
+  int r = subtree_sizes(nodes, idx + 1 + l, sizes);
+  return sizes[idx] = 1 + l + r;
+}
+
+static void assign_links(std::vector<Node>& nodes, const std::vector<int>& sizes,
+                         int idx, int miss) {
+  nodes[idx].miss = miss;
+  if (nodes[idx].tri_start >= 0) return;
+  int left = idx + 1;
+  int right = left + sizes[left];
+  assign_links(nodes, sizes, left, right);
+  assign_links(nodes, sizes, right, miss);
+}
+
+static void link_pass(std::vector<Node>& nodes, int idx, int miss) {
+  std::vector<int> sizes(nodes.size());
+  subtree_sizes(nodes, idx, sizes);
+  assign_links(nodes, sizes, idx, miss);
+}
+
+// Build outputs (caller frees each with nero_free):
+//   nodes_f: [n_nodes, 8] float  (bmin xyz, bmax xyz, pad, pad)
+//   nodes_i: [n_nodes, 4] int    (tri_start|-1, tri_count, miss, pad)
+//   tri_data: [n_tris, 9] float  (v0, e1=v1-v0, e2=v2-v0) in BVH order
+//   tri_ids:  [n_tris] int       original triangle index per BVH slot
+int bvh_build(const float* verts, int nv, const int* tris, int nt, int leaf_size,
+              float** nodes_f, int** nodes_i, int* n_nodes,
+              float** tri_data, int** tri_ids) {
+  (void)nv;
+  std::vector<BuildTri> bt(nt);
+  for (int i = 0; i < nt; ++i) {
+    const float* v0 = verts + 3 * tris[3 * i];
+    const float* v1 = verts + 3 * tris[3 * i + 1];
+    const float* v2 = verts + 3 * tris[3 * i + 2];
+    for (int a = 0; a < 3; ++a) {
+      bt[i].bmin[a] = std::min(v0[a], std::min(v1[a], v2[a]));
+      bt[i].bmax[a] = std::max(v0[a], std::max(v1[a], v2[a]));
+      bt[i].c[a] = (bt[i].bmin[a] + bt[i].bmax[a]) * 0.5f;
+    }
+    bt[i].idx = i;
+  }
+  std::vector<Node> nodes;
+  nodes.reserve(2 * nt);
+  std::vector<int> order;
+  order.reserve(nt);
+  build_recursive(bt, 0, nt, leaf_size, nodes, order);
+  link_pass(nodes, 0, -1);
+
+  int n = (int)nodes.size();
+  *n_nodes = n;
+  *nodes_f = (float*)malloc((size_t)n * 8 * sizeof(float));
+  *nodes_i = (int*)malloc((size_t)n * 4 * sizeof(int));
+  for (int i = 0; i < n; ++i) {
+    float* f = *nodes_f + 8 * i;
+    int* d = *nodes_i + 4 * i;
+    memcpy(f, nodes[i].bmin, 3 * sizeof(float));
+    memcpy(f + 3, nodes[i].bmax, 3 * sizeof(float));
+    f[6] = f[7] = 0.f;
+    d[0] = nodes[i].tri_start;
+    d[1] = nodes[i].tri_count;
+    d[2] = nodes[i].miss;
+    d[3] = 0;
+  }
+  *tri_data = (float*)malloc((size_t)nt * 9 * sizeof(float));
+  *tri_ids = (int*)malloc((size_t)nt * sizeof(int));
+  for (int s = 0; s < nt; ++s) {
+    int t = order[s];
+    (*tri_ids)[s] = t;
+    const float* v0 = verts + 3 * tris[3 * t];
+    const float* v1 = verts + 3 * tris[3 * t + 1];
+    const float* v2 = verts + 3 * tris[3 * t + 2];
+    float* out = *tri_data + 9 * s;
+    for (int a = 0; a < 3; ++a) {
+      out[a] = v0[a];
+      out[3 + a] = v1[a] - v0[a];
+      out[6 + a] = v2[a] - v0[a];
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// CPU BVH trace (host precompute passes)
+// ---------------------------------------------------------------------------
+static inline bool aabb_hit(const float* bmin, const float* bmax,
+                            const float* o, const float* inv_d, float tmax) {
+  float t0 = 1e-4f, t1 = tmax;
+  for (int a = 0; a < 3; ++a) {
+    float ta = (bmin[a] - o[a]) * inv_d[a];
+    float tb = (bmax[a] - o[a]) * inv_d[a];
+    if (ta > tb) std::swap(ta, tb);
+    t0 = std::max(t0, ta);
+    t1 = std::min(t1, tb);
+  }
+  return t0 <= t1;
+}
+
+// rays_o, rays_d: [n, 3]. Outputs (preallocated by caller):
+// inters [n,3], normals [n,3] (geometric, NOT flipped), depth [n], hit [n] u8.
+// Miss convention: depth = far (default 10), inter = o + far*d, normal = 0.
+int bvh_trace(const float* nodes_f, const int* nodes_i, int n_nodes,
+              const float* tri_data, int n_tris,
+              const float* rays_o, const float* rays_d, int n_rays, float far,
+              float* inters, float* normals, float* depth, uint8_t* hit) {
+  (void)n_nodes;
+  (void)n_tris;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 256)
+#endif
+  for (int r = 0; r < n_rays; ++r) {
+    const float* o = rays_o + 3 * r;
+    const float* d = rays_d + 3 * r;
+    float inv_d[3];
+    for (int a = 0; a < 3; ++a)
+      inv_d[a] = 1.0f / (std::abs(d[a]) > 1e-12f ? d[a] : copysignf(1e-12f, d[a]));
+    float best_t = far;
+    float best_n[3] = {0, 0, 0};
+    int node = 0;
+    while (node >= 0) {
+      const float* f = nodes_f + 8 * node;
+      const int* m = nodes_i + 4 * node;
+      if (!aabb_hit(f, f + 3, o, inv_d, best_t)) {
+        node = m[2];
+        continue;
+      }
+      if (m[0] >= 0) {  // leaf
+        for (int s = m[0]; s < m[0] + m[1]; ++s) {
+          const float* td = tri_data + 9 * s;
+          const float *v0 = td, *e1 = td + 3, *e2 = td + 6;
+          // Moller-Trumbore
+          float p[3] = {d[1] * e2[2] - d[2] * e2[1],
+                        d[2] * e2[0] - d[0] * e2[2],
+                        d[0] * e2[1] - d[1] * e2[0]};
+          float det = e1[0] * p[0] + e1[1] * p[1] + e1[2] * p[2];
+          if (std::abs(det) < 1e-12f) continue;
+          float inv_det = 1.0f / det;
+          float tv[3] = {o[0] - v0[0], o[1] - v0[1], o[2] - v0[2]};
+          float u = (tv[0] * p[0] + tv[1] * p[1] + tv[2] * p[2]) * inv_det;
+          if (u < 0.f || u > 1.f) continue;
+          float q[3] = {tv[1] * e1[2] - tv[2] * e1[1],
+                        tv[2] * e1[0] - tv[0] * e1[2],
+                        tv[0] * e1[1] - tv[1] * e1[0]};
+          float v = (d[0] * q[0] + d[1] * q[1] + d[2] * q[2]) * inv_det;
+          if (v < 0.f || u + v > 1.f) continue;
+          float t = (e2[0] * q[0] + e2[1] * q[1] + e2[2] * q[2]) * inv_det;
+          if (t > 1e-4f && t < best_t) {
+            best_t = t;
+            best_n[0] = e1[1] * e2[2] - e1[2] * e2[1];
+            best_n[1] = e1[2] * e2[0] - e1[0] * e2[2];
+            best_n[2] = e1[0] * e2[1] - e1[1] * e2[0];
+          }
+        }
+        node = m[2];
+      } else {
+        node = node + 1;
+      }
+    }
+    bool h = best_t < far;
+    hit[r] = h;
+    depth[r] = best_t;
+    float nl = std::sqrt(best_n[0] * best_n[0] + best_n[1] * best_n[1] +
+                         best_n[2] * best_n[2]);
+    for (int a = 0; a < 3; ++a) {
+      inters[3 * r + a] = o[a] + best_t * d[a];
+      normals[3 * r + a] = h && nl > 0 ? best_n[a] / nl : 0.0f;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Rasterizer: depth maps + UV-space attribute baking
+// ---------------------------------------------------------------------------
+// verts_cam: [V,3] camera-space vertices; tris [T,3]; K row-major 3x3.
+// Writes depth [h*w] (0 where empty).
+int rasterize_depth(const float* verts_cam, int nv, const int* tris, int nt,
+                    const float* K, int h, int w, float* depth) {
+  (void)nv;
+  std::fill(depth, depth + (size_t)h * w, 0.0f);
+  float fx = K[0], cx = K[2], fy = K[4], cy = K[5];
+  for (int t = 0; t < nt; ++t) {
+    const float* v[3] = {verts_cam + 3 * tris[3 * t],
+                         verts_cam + 3 * tris[3 * t + 1],
+                         verts_cam + 3 * tris[3 * t + 2]};
+    float px[3], py[3], pz[3];
+    bool behind = false;
+    for (int i = 0; i < 3; ++i) {
+      pz[i] = v[i][2];
+      if (pz[i] < 1e-6f) behind = true;
+      px[i] = fx * v[i][0] / pz[i] + cx;
+      py[i] = fy * v[i][1] / pz[i] + cy;
+    }
+    if (behind) continue;
+    int x0 = std::max(0, (int)std::floor(std::min({px[0], px[1], px[2]})));
+    int x1 = std::min(w - 1, (int)std::ceil(std::max({px[0], px[1], px[2]})));
+    int y0 = std::max(0, (int)std::floor(std::min({py[0], py[1], py[2]})));
+    int y1 = std::min(h - 1, (int)std::ceil(std::max({py[0], py[1], py[2]})));
+    if (x0 > x1 || y0 > y1) continue;
+    float d01x = px[1] - px[0], d01y = py[1] - py[0];
+    float d02x = px[2] - px[0], d02y = py[2] - py[0];
+    float det = d01x * d02y - d01y * d02x;
+    if (std::abs(det) < 1e-12f) continue;
+    float inv = 1.0f / det;
+    for (int y = y0; y <= y1; ++y)
+      for (int x = x0; x <= x1; ++x) {
+        float qx = x + 0.5f - px[0], qy = y + 0.5f - py[0];
+        float b1 = (qx * d02y - qy * d02x) * inv;
+        float b2 = (d01x * qy - d01y * qx) * inv;
+        if (b1 < 0 || b2 < 0 || b1 + b2 > 1) continue;
+        // perspective-correct depth: interpolate 1/z
+        float iz = (1 - b1 - b2) / pz[0] + b1 / pz[1] + b2 / pz[2];
+        float z = 1.0f / iz;
+        float* dp = depth + (size_t)y * w + x;
+        if (*dp == 0.0f || z < *dp) *dp = z;
+      }
+  }
+  return 0;
+}
+
+// uv: [V,2] in [0,1]; attrs: [V,C]. Bakes into image [h,w,C] + mask [h,w].
+// Used for UV-space 3D-position baking in texture-map extraction.
+int rasterize_uv(const float* uv, int nv, const int* tris, int nt,
+                 const float* attrs, int nc, int h, int w,
+                 float* image, uint8_t* mask) {
+  (void)nv;
+  std::fill(image, image + (size_t)h * w * nc, 0.0f);
+  std::fill(mask, mask + (size_t)h * w, (uint8_t)0);
+  for (int t = 0; t < nt; ++t) {
+    int i0 = tris[3 * t], i1 = tris[3 * t + 1], i2 = tris[3 * t + 2];
+    float px[3] = {uv[2 * i0] * w, uv[2 * i1] * w, uv[2 * i2] * w};
+    float py[3] = {uv[2 * i0 + 1] * h, uv[2 * i1 + 1] * h, uv[2 * i2 + 1] * h};
+    int x0 = std::max(0, (int)std::floor(std::min({px[0], px[1], px[2]})));
+    int x1 = std::min(w - 1, (int)std::ceil(std::max({px[0], px[1], px[2]})));
+    int y0 = std::max(0, (int)std::floor(std::min({py[0], py[1], py[2]})));
+    int y1 = std::min(h - 1, (int)std::ceil(std::max({py[0], py[1], py[2]})));
+    if (x0 > x1 || y0 > y1) continue;
+    float d01x = px[1] - px[0], d01y = py[1] - py[0];
+    float d02x = px[2] - px[0], d02y = py[2] - py[0];
+    float det = d01x * d02y - d01y * d02x;
+    if (std::abs(det) < 1e-12f) continue;
+    float inv = 1.0f / det;
+    for (int y = y0; y <= y1; ++y)
+      for (int x = x0; x <= x1; ++x) {
+        float qx = x + 0.5f - px[0], qy = y + 0.5f - py[0];
+        float b1 = (qx * d02y - qy * d02x) * inv;
+        float b2 = (d01x * qy - d01y * qx) * inv;
+        if (b1 < -1e-6f || b2 < -1e-6f || b1 + b2 > 1 + 1e-6f) continue;
+        float b0 = 1 - b1 - b2;
+        float* px_out = image + ((size_t)y * w + x) * nc;
+        for (int c = 0; c < nc; ++c)
+          px_out[c] = b0 * attrs[i0 * nc + c] + b1 * attrs[i1 * nc + c] +
+                      b2 * attrs[i2 * nc + c];
+        mask[(size_t)y * w + x] = 1;
+      }
+  }
+  return 0;
+}
+
+}  // extern "C"
