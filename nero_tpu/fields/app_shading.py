@@ -95,7 +95,8 @@ def predict_human_light(params, cfg: AppShadingConfig, points, reflective, human
     mean = mean * hitsf
     var = jnp.broadcast_to(var * hitsf, mean.shape)
     pos_enc = integrated_pos_encode(mean, var, 0, 6)
-    human = apply_predictor(params["human_light"], pos_enc, activation="exp", exp_max=5.0) * hitsf
+    # exp clamped at 0 (reference make_predictor default exp_max=0.0) -> <= 1
+    human = apply_predictor(params["human_light"], pos_enc, activation="exp", exp_max=0.0) * hitsf
     human_light, human_weight = human[..., :3], human[..., 3:]
     return human_light, jnp.clip(human_weight, 0.0, 1.0)
 

@@ -1,0 +1,466 @@
+"""Stage-II Monte-Carlo BRDF shader (Cook-Torrance GGX with traced visibility).
+
+Parity target: reference network/field.py:660-1087 (`MaterialFeatsNetwork`,
+`MCShadingNetwork`): per-point material features -> metallic/roughness/albedo
+heads; cosine-sampled diffuse + GGX-importance-sampled specular directions
+from precomputed Fibonacci-sphere stratification with random azimuth rotation
+in training; every sample direction is ray-traced against the fixed mesh —
+hits query the indirect-light MLP, misses the environment MLP (+ optional
+camera-plane "human" light); an MIS-style mixed estimator combines them;
+plus material-smoothness and min/max regularisers.
+
+TPU-first notes: the [points, 768 dirs] block is shaded fully vectorised —
+both light MLPs are evaluated on the full lattice and selected by the trace
+hit mask (branch-free; keeps the MXU dense), the BVH traversal is the XLA
+wavefront kernel (geometry/bvh_jax.py), and all RNG is explicit keys.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nero_tpu.fields.app_shading import get_camera_plane_intersection
+from nero_tpu.ops.mlp import (apply_dense, apply_predictor, init_dense,
+                              init_predictor)
+from nero_tpu.utils.color import linear_to_srgb
+from nero_tpu.utils.encodings import (ide_dim, integrated_dir_encode,
+                                      integrated_pos_encode, positional_encode,
+                                      positional_encode_dim)
+from nero_tpu.utils.sphere import (az_el_to_points, get_sphere_intersection,
+                                   sample_sphere)
+
+
+class MCShadingConfig(NamedTuple):
+    diffuse_sample_num: int = 512
+    specular_sample_num: int = 256
+    human_lights: bool = True
+    light_exp_max: float = 5.0
+    inner_light_exp_max: float = 5.0
+    outer_light_version: str = "direction"  # | "sphere_direction"
+    geometry_type: str = "schlick"          # | "ggx_smith"
+    reg_change: bool = True
+    change_eps: float = 0.05
+    change_type: str = "gaussian"
+    reg_lambda1: float = 0.005
+    reg_min_max: bool = True
+    random_azimuth: bool = True
+    is_real: bool = False
+    ide_deg: int = 5
+
+
+def mc_config_from_dict(cfg: dict) -> MCShadingConfig:
+    fields = MCShadingConfig._fields
+    return MCShadingConfig(**{k: v for k, v in cfg.items() if k in fields})
+
+
+# ---------------------------------------------------------------------------
+# Material feature network
+# ---------------------------------------------------------------------------
+
+def init_material_feats(key):
+    """PE(8) -> two 4x256 weight-norm blocks with a skip (reference field.py:660-689)."""
+    in_dim = positional_encode_dim(3, 8)
+    run = 256
+    keys = jax.random.split(key, 8)
+    m0 = [init_dense(keys[0], in_dim, run), init_dense(keys[1], run, run),
+          init_dense(keys[2], run, run), init_dense(keys[3], run, run)]
+    m1 = [init_dense(keys[4], in_dim + run, run), init_dense(keys[5], run, run),
+          init_dense(keys[6], run, run), init_dense(keys[7], run, run)]
+    return {"m0": m0, "m1": m1}
+
+
+def material_feats_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    enc = positional_encode(x, 8)
+    h = enc
+    for layer in params["m0"]:
+        h = jax.nn.relu(apply_dense(layer, h))
+    h = jnp.concatenate([h, enc], axis=-1)
+    for i, layer in enumerate(params["m1"]):
+        h = apply_dense(layer, h)
+        if i < len(params["m1"]) - 1:
+            h = jax.nn.relu(h)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_mc_shading(key, cfg: MCShadingConfig = MCShadingConfig()):
+    keys = jax.random.split(key, 8)
+    sph = ide_dim(cfg.ide_deg)
+    pos_dim = positional_encode_dim(3, 8)
+    params = {
+        "feats": init_material_feats(keys[0]),
+        "metallic": init_predictor(keys[1], 256 + 3, 1),
+        "roughness": init_predictor(keys[2], 256 + 3, 1),
+        "albedo": init_predictor(keys[3], 256 + 3, 3),
+        "outer_light": init_predictor(
+            keys[4], sph * (2 if cfg.outer_light_version == "sphere_direction" else 1),
+            3, final_bias=math.log(0.5)),
+        "inner_light": init_predictor(keys[5], pos_dim + sph, 3,
+                                      final_bias=math.log(0.5)),
+    }
+    if cfg.human_lights:
+        params["human_light"] = init_predictor(keys[6], 2 * 2 * 6, 4,
+                                               final_bias=math.log(0.02))
+    return params
+
+
+def make_direction_samples(cfg: MCShadingConfig):
+    """Stratified Fibonacci-sphere (az, el) pairs scaled to [0,1]^2 (constants)."""
+    def scaled(n):
+        az, el = sample_sphere(n, 0)
+        return np.stack([az * 0.5 / np.pi, 1 - 2 * el / np.pi], -1).astype(np.float32)
+    az8, el8 = sample_sphere(8192, 0)
+    return {
+        "diffuse": jnp.asarray(scaled(cfg.diffuse_sample_num)),
+        "specular": jnp.asarray(scaled(cfg.specular_sample_num)),
+        "light_pts": jnp.asarray(az_el_to_points(az8, el8).astype(np.float32)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Direction sampling
+# ---------------------------------------------------------------------------
+
+def get_orthogonal_directions(directions: jnp.ndarray) -> jnp.ndarray:
+    x, y, z = directions[..., 0:1], directions[..., 1:2], directions[..., 2:3]
+    otho0 = jnp.concatenate([y, -x, jnp.zeros_like(x)], -1)
+    otho1 = jnp.concatenate([-z, jnp.zeros_like(x), x], -1)
+    use0 = (jnp.linalg.norm(otho0, axis=-1, keepdims=True)
+            > jnp.linalg.norm(otho1, axis=-1, keepdims=True))
+    otho = jnp.where(use0, otho0, otho1)
+    return otho / jnp.maximum(jnp.linalg.norm(otho, axis=-1, keepdims=True), 1e-12)
+
+
+def sample_diffuse_directions(samples, normals, key=None):
+    """Cosine-hemisphere dirs around normals; [pn, sn, 3]."""
+    z = normals
+    x = get_orthogonal_directions(normals)
+    y = jnp.cross(z, x)
+    az = samples[None, :, 0:1] * (2 * jnp.pi)
+    el = samples[None, :, 1:2]
+    if key is not None:
+        rot = jax.random.uniform(key, (normals.shape[0], 1, 1)) * 2 * jnp.pi
+        az = (az + rot) % (2 * jnp.pi)
+    el_sqrt = jnp.sqrt(el + 1e-7)
+    coeff_z = jnp.sqrt(1 - el + 1e-7)
+    coeff_x = el_sqrt * jnp.cos(az)
+    coeff_y = el_sqrt * jnp.sin(az)
+    return (coeff_x * x[:, None] + coeff_y * y[:, None] + coeff_z * z[:, None])
+
+
+def sample_specular_directions(samples, reflections, roughness, key=None):
+    """GGX-importance dirs around reflections; roughness is already squared."""
+    z = reflections
+    x = get_orthogonal_directions(reflections)
+    y = jnp.cross(z, x)
+    a = roughness[:, None]                      # [pn,1,1]
+    az = samples[None, :, 0:1]
+    el = samples[None, :, 1:2]
+    phi = 2 * jnp.pi * az
+    cos_theta = jnp.sqrt((1.0 - el + 1e-6) / (1.0 + (a ** 2 - 1.0) * el + 1e-6) + 1e-6)
+    sin_theta = jnp.sqrt(1 - cos_theta ** 2 + 1e-6)
+    if key is not None:
+        rot = jax.random.uniform(key, (reflections.shape[0], 1, 1)) * 2 * jnp.pi
+        phi = (phi + rot) % (2 * jnp.pi)
+    coeff_x = jnp.cos(phi) * sin_theta
+    coeff_y = jnp.sin(phi) * sin_theta
+    return (coeff_x * x[:, None] + coeff_y * y[:, None] + cos_theta * z[:, None])
+
+
+# ---------------------------------------------------------------------------
+# BRDF terms
+# ---------------------------------------------------------------------------
+
+def saturate_dot(v0, v1):
+    return jnp.clip(jnp.sum(v0 * v1, axis=-1, keepdims=True), 0.0, 1.0)
+
+
+def fresnel_schlick(F0, HoV):
+    return F0 + (1.0 - F0) * jnp.clip(1.0 - HoV, 0.0, 1.0) ** 5.0
+
+
+def distribution_ggx(NoH, roughness):
+    a2 = roughness ** 2  # roughness is already alpha (= perceptual^2)
+    denom = NoH ** 2 * (a2 - 1.0) + 1.0
+    return a2 / (jnp.pi * denom ** 2 + 1e-4)
+
+
+def geometry_schlick(NoV, NoL, roughness):
+    def ggx(NoX):
+        k = roughness / 2
+        return NoX / (NoX * (1 - k) + k + 1e-5)
+    return ggx(NoV) * ggx(NoL)
+
+
+def geometry_ggx_smith(NoV, NoL, roughness):
+    def lam(alpha2, cos_t):
+        cos2 = cos_t ** 2
+        tan2 = (1 - cos2) / (cos2 + 1e-7)
+        return 0.5 * jnp.sqrt(1 + alpha2 * tan2) - 0.5
+    alpha2 = roughness ** 2
+    return 1.0 / (1.0 + lam(alpha2, NoV) + lam(alpha2, NoL))
+
+
+def geometry_term(cfg: MCShadingConfig, NoV, NoL, roughness):
+    if cfg.geometry_type == "schlick":
+        return geometry_schlick(NoV, NoL, roughness)
+    if cfg.geometry_type == "ggx_smith":
+        return geometry_ggx_smith(NoV, NoL, roughness)
+    raise NotImplementedError(cfg.geometry_type)
+
+
+# ---------------------------------------------------------------------------
+# Lights
+# ---------------------------------------------------------------------------
+
+def predict_materials_mc(params, pts):
+    feats = material_feats_apply(params["feats"], pts)
+    inp = jnp.concatenate([feats, pts], -1)
+    metallic = apply_predictor(params["metallic"], inp)
+    roughness = apply_predictor(params["roughness"], inp)
+    rmax, rmin = 1.0, 0.04 ** 2
+    roughness = roughness * (rmax - rmin) + rmin  # squared-roughness convention
+    albedo = apply_predictor(params["albedo"], inp)
+    return metallic, roughness, albedo
+
+
+def get_inner_lights(params, cfg, points, view_dirs, normals):
+    pos_enc = positional_encode(points, 8)
+    normals = normals / jnp.maximum(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+    view_dirs = view_dirs / jnp.maximum(jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-12)
+    reflections = jnp.sum(view_dirs * normals, -1, keepdims=True) * normals * 2 - view_dirs
+    dir_enc = integrated_dir_encode(reflections, 0.0, cfg.ide_deg)
+    return apply_predictor(params["inner_light"],
+                           jnp.concatenate([pos_enc, dir_enc], -1),
+                           activation="exp", exp_max=cfg.inner_light_exp_max)
+
+
+def get_human_light(params, points, directions, human_poses):
+    inter, dists, hits = get_camera_plane_intersection(points, directions, human_poses)
+    scale = 0.3
+    mean = inter[..., :2] * scale
+    hits = hits & (jnp.linalg.norm(mean, axis=-1) < 1.5) & (dists > 0)
+    hitsf = hits.astype(mean.dtype)[..., None]
+    mean = mean * hitsf
+    var = jnp.zeros_like(mean)
+    pos_enc = integrated_pos_encode(mean, var, 0, 6)
+    human = apply_predictor(params["human_light"], pos_enc,
+                            activation="exp", exp_max=0.0) * hitsf
+    return human[..., :3], jnp.clip(human[..., 3:], 0.0, 1.0)
+
+
+def predict_outer_lights(params, cfg: MCShadingConfig, points, directions):
+    outer_enc = integrated_dir_encode(directions, 0.0, cfg.ide_deg)
+    if cfg.outer_light_version == "direction":
+        return apply_predictor(params["outer_light"], outer_enc,
+                               activation="exp", exp_max=cfg.light_exp_max)
+    if cfg.outer_light_version == "sphere_direction":
+        norm = jnp.linalg.norm(points, axis=-1, keepdims=True)
+        pts = jnp.where(norm > 0.999, points * 0.999 / jnp.maximum(norm, 1e-12), points)
+        dists = get_sphere_intersection(pts, directions)
+        sphere_pts = pts + directions * dists
+        sphere_enc = integrated_dir_encode(sphere_pts, 0.0, cfg.ide_deg)
+        return apply_predictor(params["outer_light"],
+                               jnp.concatenate([outer_enc, sphere_enc], -1),
+                               activation="exp", exp_max=cfg.light_exp_max)
+    raise NotImplementedError(cfg.outer_light_version)
+
+
+def get_lights(params, cfg: MCShadingConfig, trace_fn, points, directions, human_poses):
+    """Trace every sample direction; hit -> indirect MLP, miss -> env (+human).
+
+    points/directions [pn,sn,3], human_poses [pn,sn,3,4] or None.
+    Returns (lights [pn,sn,3], human_contrib, inters, normals, hit_mask)."""
+    shape = points.shape[:-1]
+    eps = 1e-5
+    # The tracer is non-differentiable (as is the reference's CUDA BVH);
+    # stop gradients at its boundary so reverse-mode never sees the while_loop.
+    flat_o = jax.lax.stop_gradient(points.reshape(-1, 3) + directions.reshape(-1, 3) * eps)
+    flat_d = jax.lax.stop_gradient(directions.reshape(-1, 3))
+    inters, normals, depth, hit = jax.tree_util.tree_map(
+        jax.lax.stop_gradient, trace_fn(flat_o, flat_d))
+    inters = inters.reshape(*shape, 3)
+    normals = normals.reshape(*shape, 3)
+    depth = depth.reshape(*shape, 1)
+    hit = hit.reshape(*shape)
+
+    # NeuS-convention flip (reference renderer.py:719-729)
+    normals = -normals
+
+    outer = predict_outer_lights(params, cfg, points, directions)
+    if cfg.human_lights:
+        human_lights, human_weights = get_human_light(params, points, directions,
+                                                      human_poses)
+    else:
+        human_lights, human_weights = jnp.zeros_like(outer), jnp.zeros_like(outer[..., :1])
+    miss_light = outer * (1 - human_weights) + human_lights * human_weights
+
+    inner = get_inner_lights(params, cfg, inters, -directions, normals)
+
+    lights = jnp.where(hit[..., None], inner, miss_light)
+    near_mask = (depth > eps).astype(lights.dtype)
+    lights = lights * near_mask  # a surface immediately in front emits nothing
+    human_contrib = jnp.where(hit[..., None], 0.0, human_lights * human_weights)
+    return lights, human_contrib, inters, normals, hit
+
+
+# ---------------------------------------------------------------------------
+# Mixed MIS estimator
+# ---------------------------------------------------------------------------
+
+def shade_mixed(params, cfg: MCShadingConfig, samples, trace_fn, pts, normals,
+                view_dirs, reflections, metallic, roughness, albedo, human_poses,
+                key=None):
+    F0 = 0.04 * (1 - metallic) + metallic * albedo
+
+    if key is not None and cfg.random_azimuth:
+        k_d, k_s = jax.random.split(key)
+    else:
+        k_d = k_s = None
+    diffuse_dirs = sample_diffuse_directions(samples["diffuse"], normals, k_d)
+    specular_dirs = sample_specular_directions(samples["specular"], reflections,
+                                               roughness, k_s)
+    dn = diffuse_dirs.shape[1]
+    sn_ = specular_dirs.shape[1]
+    total = dn + sn_
+
+    NoL_d = saturate_dot(diffuse_dirs, normals[:, None])
+    diffuse_prob = NoL_d / jnp.pi * (dn / total)
+
+    H_s = view_dirs[:, None] + specular_dirs
+    H_s = H_s / jnp.maximum(jnp.linalg.norm(H_s, axis=-1, keepdims=True), 1e-12)
+    NoH_s = saturate_dot(normals[:, None], H_s)
+    VoH_s = saturate_dot(view_dirs[:, None], H_s)
+    specular_prob = (distribution_ggx(NoH_s, roughness[:, None]) * NoH_s
+                     / (4 * VoH_s + 1e-5) * (sn_ / total))
+
+    directions = jnp.concatenate([diffuse_dirs, specular_dirs], 1)
+    probability = jnp.concatenate([diffuse_prob, specular_prob], 1)
+
+    H = view_dirs[:, None] + directions
+    H = H / jnp.maximum(jnp.linalg.norm(H, axis=-1, keepdims=True), 1e-12)
+    HoV = saturate_dot(H, view_dirs[:, None])
+    fresnel = fresnel_schlick(F0[:, None], HoV)
+    NoV = saturate_dot(normals, view_dirs)[:, None]
+    NoL = saturate_dot(normals[:, None], directions)
+    geom = geometry_term(cfg, NoV, NoL, roughness[:, None])
+    NoH = saturate_dot(normals[:, None], H)
+    dist = distribution_ggx(NoH, roughness[:, None])
+
+    hp = (jnp.broadcast_to(human_poses[:, None], (pts.shape[0], total, 3, 4))
+          if human_poses is not None else None)
+    pts_rep = jnp.broadcast_to(pts[:, None], (pts.shape[0], total, 3))
+    lights, hl, light_pts, light_normals, light_hit = get_lights(
+        params, cfg, trace_fn, pts_rep, directions, hp)
+
+    specular_weights = dist * geom / (4 * NoV * probability + 1e-5)
+    specular_lights = lights * specular_weights
+    specular_colors = jnp.mean(fresnel * specular_lights, axis=1)
+
+    kd = 1 - metallic[:, None]
+    diffuse_lights = lights[:, :dn]
+    diffuse_colors = jnp.mean(albedo[:, None] * kd[:, :dn] * diffuse_lights, axis=1)
+
+    colors = linear_to_srgb(diffuse_colors + specular_colors)
+
+    outputs = {
+        "albedo": albedo,
+        "roughness": roughness,
+        "metallic": metallic,
+        "human_lights": hl.reshape(-1, 3),
+        "diffuse_light": jnp.clip(linear_to_srgb(jnp.mean(diffuse_lights, axis=1)), 0, 1),
+        "specular_light": jnp.clip(linear_to_srgb(jnp.mean(specular_lights, axis=1)), 0, 1),
+        "diffuse_color": jnp.clip(linear_to_srgb(diffuse_colors), 0, 1),
+        "specular_color": jnp.clip(linear_to_srgb(specular_colors), 0, 1),
+    }
+    outputs["approximate_light"] = jnp.clip(
+        linear_to_srgb(jnp.mean(kd[:, :dn] * diffuse_lights, axis=1))
+        + outputs["specular_color"], 0, 1)
+    return colors, outputs
+
+
+def mc_shading_apply(params, cfg: MCShadingConfig, samples, trace_fn, pts,
+                     view_dirs, normals, human_poses, key=None):
+    """Full Stage-II shading (reference field.py:1014-1018)."""
+    view_dirs = view_dirs / jnp.maximum(jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-12)
+    normals = normals / jnp.maximum(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+    reflections = jnp.sum(view_dirs * normals, -1, keepdims=True) * normals * 2 - view_dirs
+    metallic, roughness, albedo = predict_materials_mc(params, pts)
+    return shade_mixed(params, cfg, samples, trace_fn, pts, normals, view_dirs,
+                       reflections, metallic, roughness, albedo, human_poses, key)
+
+
+# ---------------------------------------------------------------------------
+# Regularisers + environment export
+# ---------------------------------------------------------------------------
+
+def material_regularization(params, cfg: MCShadingConfig, key, pts, normals,
+                            metallic, roughness, albedo, step):
+    """Material smoothness + early min/max clamping (reference field.py:1061-1087)."""
+    reg = jnp.zeros((pts.shape[0],))
+    if cfg.reg_change:
+        n = normals / jnp.maximum(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+        x = get_orthogonal_directions(n)
+        y = jnp.cross(n, x)
+        k_ang, k_eps = jax.random.split(key)
+        ang = jax.random.uniform(k_ang, (pts.shape[0], 1)) * 2 * jnp.pi
+        if cfg.change_type == "constant":
+            change = (jnp.cos(ang) * x + jnp.sin(ang) * y) * cfg.change_eps
+        elif cfg.change_type == "gaussian":
+            eps = cfg.change_eps * jax.random.normal(k_eps, (pts.shape[0], 1))
+            change = (jnp.cos(ang) * x + jnp.sin(ang) * y) * eps
+        else:
+            raise NotImplementedError(cfg.change_type)
+        m0, r0, a0 = predict_materials_mc(params, pts + change)
+        reg = reg + jnp.mean(
+            (jnp.abs(m0 - metallic) + jnp.abs(r0 - roughness) + jnp.abs(a0 - albedo))
+            * cfg.reg_lambda1, axis=1)
+
+    if cfg.reg_min_max:
+        early = jnp.asarray(step < 2000, reg.dtype) if not isinstance(step, int) \
+            else float(step < 2000)
+        clamp = (jnp.sum(jnp.maximum(roughness - 0.98 ** 2, 0.0))
+                 + jnp.sum(jnp.maximum(0.02 ** 2 - roughness, 0.0))
+                 + jnp.sum(jnp.maximum(metallic - 0.98, 0.0))
+                 + jnp.sum(jnp.maximum(0.02 - metallic, 0.0)))
+        reg = reg + clamp * early
+    return reg
+
+
+def env_light_image(params, cfg: MCShadingConfig, h: int, w: int, gamma: bool = True):
+    """Render the learned environment as a lat-long image (reference field.py:1020-1047)."""
+    azs = jnp.linspace(1.0, 0.0, w) * jnp.pi * 2 - jnp.pi / 2
+    els = jnp.linspace(1.0, -1.0, h) * jnp.pi / 2
+    els, azs = jnp.meshgrid(els, azs, indexing="ij")
+    if cfg.is_real:
+        x = jnp.cos(els) * jnp.cos(azs)
+        y = jnp.cos(els) * jnp.sin(azs)
+        z = jnp.sin(els)
+    else:
+        z = jnp.cos(els) * jnp.cos(azs)
+        x = jnp.cos(els) * jnp.sin(azs)
+        y = jnp.sin(els)
+    xyz = jnp.stack([x, y, z], -1).reshape(-1, 3)
+    light = predict_outer_lights_pts(params, cfg, xyz)
+    if gamma:
+        light = linear_to_srgb(light)
+    return light.reshape(h, w, 3)
+
+
+def predict_outer_lights_pts(params, cfg: MCShadingConfig, pts):
+    enc = integrated_dir_encode(pts, 0.0, cfg.ide_deg)
+    if cfg.outer_light_version == "direction":
+        return apply_predictor(params["outer_light"], enc,
+                               activation="exp", exp_max=cfg.light_exp_max)
+    if cfg.outer_light_version == "sphere_direction":
+        return apply_predictor(params["outer_light"],
+                               jnp.concatenate([enc, enc], -1),
+                               activation="exp", exp_max=cfg.light_exp_max)
+    raise NotImplementedError(cfg.outer_light_version)

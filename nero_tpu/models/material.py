@@ -1,0 +1,276 @@
+"""Stage-II material model: fixed mesh + BVH visibility + MC BRDF estimation.
+
+Counterpart of reference `NeROMaterialRenderer` (network/renderer.py:649-915):
+load the Stage-I mesh, build a BVH, precompute the first hit for every train
+pixel once (keeping only hits), then per step shade 512 surface points with
+the Monte-Carlo GGX shader; validation shades only the hit pixels of a test
+view, scattered back into the image.
+
+TPU-first notes:
+  * the one-time all-pixel trace runs on the host C++ tracer (OpenMP) — it is
+    IO-bound precompute, not the training hot path;
+  * the per-step hot path (512 pts x 768 dirs: visibility + light MLPs +
+    BRDF) is one jitted program; the BVH traversal inside it is the XLA
+    wavefront kernel with stop_gradient'ed trace outputs (the reference's
+    CUDA tracer is likewise non-differentiable);
+  * validation compacts hit pixels into dense fixed-size chunks on the host,
+    shades them on device, and scatters back — no wasted shading of misses.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nero_tpu.dataset.database import get_database_split, parse_database_name
+from nero_tpu.fields.mc_shading import (MCShadingConfig, init_mc_shading,
+                                        make_direction_samples,
+                                        material_regularization,
+                                        mc_config_from_dict, mc_shading_apply,
+                                        predict_materials_mc, env_light_image)
+from nero_tpu.geometry.bvh_jax import RayTracer
+from nero_tpu.geometry.mesh_io import read_ply
+from nero_tpu.models.shape import build_imgs_info
+from nero_tpu.parallel.mesh import constrain_rays, make_data_mesh
+from nero_tpu.render.rays import human_coordinate_poses
+from nero_tpu.render.shape import compute_rgb_loss
+from nero_tpu.train.losses import compute_losses, total_loss
+
+DEFAULT_MATERIAL_CFG = {
+    "train_ray_num": 512,
+    "test_ray_num": 1024,
+    "database_name": "proc/sphere/64",
+    "rgb_loss": "charbonier",
+    "mesh": "data/meshes/bear_shape-300000.ply",
+    "shader_cfg": {},
+    "reg_mat": True,
+    "reg_diffuse_light": True,
+    "reg_diffuse_light_lambda": 0.1,
+    "fixed_camera": False,
+    "random_seed": 6033,
+    "loss": ["nerf_render", "mat_reg"],
+}
+
+
+class NeROMaterialModel:
+    def __init__(self, cfg: dict, training: bool = True, mesh=None):
+        self.cfg = {**DEFAULT_MATERIAL_CFG, **cfg}
+        shader_cfg = dict(self.cfg.get("shader_cfg") or {})
+        shader_cfg["is_real"] = self.cfg["database_name"].startswith("real")
+        self.mcfg: MCShadingConfig = mc_config_from_dict(shader_cfg)
+        self.mesh = mesh if mesh is not None else make_data_mesh()
+        key = jax.random.PRNGKey(self.cfg["random_seed"])
+        self.params = init_mc_shading(key, self.mcfg)
+        self.samples = make_direction_samples(self.mcfg)
+        self._init_geometry()
+        if training:
+            self._init_dataset()
+
+    # -------------------------------------------------------------- geometry
+    def _init_geometry(self):
+        mesh_data = read_ply(self.cfg["mesh"]) if isinstance(self.cfg["mesh"], str) \
+            else self.cfg["mesh"]
+        self.vertices = np.asarray(mesh_data["vertices"], np.float32)
+        self.triangles = np.asarray(mesh_data["triangles"], np.int32)
+        self.ray_tracer = RayTracer(self.vertices, self.triangles)
+        self.trace_fn = self.ray_tracer.trace_fn()
+
+    # ---------------------------------------------------------------- dataset
+    def _init_dataset(self):
+        self.database = parse_database_name(self.cfg["database_name"])
+        self.train_ids, self.test_ids = get_database_split(self.database, "validation")
+        info = build_imgs_info(self.database, self.train_ids)
+        self.train_batch = self._construct_hit_batch(info)
+        self.tbn = len(self.train_batch["rays_o"])
+        self.test_imgs_info = build_imgs_info(self.database, self.test_ids)
+        rng = np.random.RandomState(self.cfg["random_seed"])
+        self._shuffle(rng)
+        self._batch_i = 0
+        self._rng = rng
+
+    def _image_rays_np(self, K, pose, h, w):
+        xs, ys = np.meshgrid(np.arange(w, dtype=np.float32) + 0.5,
+                             np.arange(h, dtype=np.float32) + 0.5)
+        coords = np.stack([xs, ys, np.ones_like(xs)], -1).reshape(-1, 3)
+        d_cam = coords @ np.linalg.inv(K).T
+        R, t = pose[:, :3], pose[:, 3]
+        rays_d = d_cam @ R
+        rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+        rays_o = np.broadcast_to(-R.T @ t, rays_d.shape).astype(np.float32)
+        return rays_o.astype(np.float32), rays_d.astype(np.float32)
+
+    def _construct_hit_batch(self, info) -> dict:
+        """Trace every train pixel once on the host, keep hits (reference
+        renderer.py:756-802)."""
+        n, h, w, _ = info["imgs"].shape
+        human = np.asarray(human_coordinate_poses(
+            jnp.asarray(info["poses"]), self.cfg["fixed_camera"]))
+        out = {k: [] for k in ["rays_o", "rays_d", "inters", "normals", "depth",
+                               "human_poses", "rgb"]}
+        for i in range(n):
+            rays_o, rays_d = self._image_rays_np(info["Ks"][i], info["poses"][i], h, w)
+            inters, normals, depth, hit = self.ray_tracer.trace_cpu(rays_o, rays_d)
+            normals = -normals  # NeuS flip (reference renderer.py:722-723)
+            rgb = info["imgs"][i].reshape(-1, 3).astype(np.float32) / 255.0
+            out["rays_o"].append(rays_o[hit])
+            out["rays_d"].append(rays_d[hit])
+            out["inters"].append(inters[hit])
+            out["normals"].append(normals[hit])
+            out["depth"].append(depth[hit, None])
+            out["human_poses"].append(np.broadcast_to(human[i], (h * w, 3, 4))[hit])
+            out["rgb"].append(rgb[hit])
+        return {k: np.concatenate(v, 0) for k, v in out.items()}
+
+    def _shuffle(self, rng):
+        idx = rng.permutation(self.tbn)
+        for k in self.train_batch:
+            self.train_batch[k] = self.train_batch[k][idx]
+
+    def next_train_batch(self) -> dict:
+        rn = self.cfg["train_ray_num"]
+        if self._batch_i + rn > self.tbn:
+            self._shuffle(self._rng)
+            self._batch_i = 0
+        sl = slice(self._batch_i, self._batch_i + rn)
+        self._batch_i += rn
+        return {k: jnp.asarray(v[sl]) for k, v in self.train_batch.items()}
+
+    # -------------------------------------------------------------- training
+    def make_train_step(self, optimizer: optax.GradientTransformation,
+                        loss_names=None, donate: bool = True):
+        mcfg, samples, trace_fn, cfg = self.mcfg, self.samples, self.trace_fn, self.cfg
+        mesh = self.mesh
+        loss_names = loss_names if loss_names is not None else cfg["loss"]
+
+        def step_fn(params, opt_state, key, step, batch):
+            batch = constrain_rays(batch, mesh)
+
+            def loss_fn(p):
+                k_shade, k_reg = jax.random.split(key)
+                colors, outputs = mc_shading_apply(
+                    p, mcfg, samples, trace_fn, batch["inters"],
+                    -batch["rays_d"], batch["normals"], batch["human_poses"],
+                    key=k_shade)
+                out = dict(outputs)
+                out["loss_rgb"] = compute_rgb_loss(colors, batch["rgb"], cfg["rgb_loss"])
+                if cfg["reg_mat"]:
+                    out["loss_mat_reg"] = material_regularization(
+                        p, mcfg, k_reg, batch["inters"], batch["normals"],
+                        outputs["metallic"], outputs["roughness"],
+                        outputs["albedo"], step)
+                if cfg["reg_diffuse_light"]:
+                    dl = outputs["diffuse_light"]
+                    out["loss_diffuse_light"] = (
+                        jnp.sum(jnp.abs(dl - jnp.mean(dl, axis=-1, keepdims=True)), -1)
+                        * cfg["reg_diffuse_light_lambda"])
+                log = compute_losses(loss_names, out, None, step, cfg)
+                return total_loss(log), log
+
+            (loss, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            log = {k: jnp.mean(v) for k, v in log.items()}
+            log["loss_total"] = loss
+            return params, opt_state, log
+
+        donate_args = (0, 1) if donate else ()
+        return jax.jit(step_fn, donate_argnums=donate_args)
+
+    # ------------------------------------------------------------ validation
+    def make_shade_chunk(self):
+        mcfg, samples, trace_fn = self.mcfg, self.samples, self.trace_fn
+
+        def chunk_fn(params, pts, view_dirs, normals, human_poses):
+            colors, outputs = mc_shading_apply(params, mcfg, samples, trace_fn,
+                                               pts, view_dirs, normals,
+                                               human_poses, key=None)
+            keep = ["albedo", "metallic", "roughness", "specular_light",
+                    "specular_color", "diffuse_light", "diffuse_color"]
+            out = {k: outputs[k] for k in keep}
+            out["rgb_pr"] = colors
+            return out
+
+        return jax.jit(chunk_fn)
+
+    def test_step(self, params, index: int, step: int = 0, chunk_fn=None):
+        if chunk_fn is None:
+            chunk_fn = self.make_shade_chunk()
+        info = {k: v[index:index + 1] for k, v in self.test_imgs_info.items()}
+        h, w = info["imgs"].shape[1:3]
+        rays_o, rays_d = self._image_rays_np(info["Ks"][0], info["poses"][0], h, w)
+        inters, normals, depth, hit = self.ray_tracer.trace_cpu(rays_o, rays_d)
+        normals = -normals
+        human = np.asarray(human_coordinate_poses(
+            jnp.asarray(info["poses"]), self.cfg["fixed_camera"]))[0]
+        rgb_gt = info["imgs"][0].reshape(-1, 3).astype(np.float32) / 255.0
+
+        keys = {"rgb_pr": 3, "specular_light": 3, "specular_color": 3,
+                "diffuse_light": 3, "diffuse_color": 3, "albedo": 3,
+                "metallic": 1, "roughness": 1}
+        outputs = {k: np.zeros((h * w, d), np.float32) for k, d in keys.items()}
+
+        hit_idx = np.nonzero(hit)[0]
+        trn = self.cfg["test_ray_num"]
+        for ci in range(0, len(hit_idx), trn):
+            sel = hit_idx[ci:ci + trn]
+            n_pad = trn - len(sel)
+            sel_pad = np.concatenate([sel, np.repeat(sel[-1:], n_pad)]) if n_pad else sel
+            res = chunk_fn(params,
+                           jnp.asarray(inters[sel_pad]),
+                           jnp.asarray(-rays_d[sel_pad]),
+                           jnp.asarray(normals[sel_pad]),
+                           jnp.asarray(np.broadcast_to(human, (len(sel_pad), 3, 4))))
+            res = jax.tree_util.tree_map(np.asarray, res)
+            for k in keys:
+                outputs[k][sel] = res[k][:len(sel)]
+        # squared-roughness convention -> sqrt for display (reference renderer.py:879)
+        outputs["roughness"] = np.sqrt(np.maximum(outputs["roughness"], 0.0))
+        outputs["rgb_gt"] = np.where(hit[:, None], rgb_gt, 0.0)
+        outputs["loss_rgb"] = np.asarray(compute_rgb_loss(
+            jnp.asarray(outputs["rgb_pr"]), jnp.asarray(outputs["rgb_gt"]),
+            self.cfg["rgb_loss"]))
+        return {k: (v.reshape(h, w, -1) if v.ndim == 2 and v.shape[0] == h * w else v)
+                for k, v in outputs.items()}
+
+    # -------------------------------------------------------------- material
+    def predict_materials(self, params=None, batch_size: int = 8192):
+        """Per-vertex materials; roughness exported as sqrt (reference
+        renderer.py:903-915)."""
+        params = self.params if params is None else params
+        verts = self.vertices
+        fn = jax.jit(lambda p, x: predict_materials_mc(p, x))
+        metallic, roughness, albedo = [], [], []
+        for vi in range(0, len(verts), batch_size):
+            chunk = verts[vi:vi + batch_size]
+            n_pad = batch_size - len(chunk)
+            if n_pad:
+                chunk = np.concatenate([chunk, np.zeros((n_pad, 3), np.float32)])
+            m, r, a = fn(params, jnp.asarray(chunk))
+            n = batch_size - n_pad
+            metallic.append(np.asarray(m)[:n])
+            roughness.append(np.sqrt(np.maximum(np.asarray(r)[:n], 1e-7)))
+            albedo.append(np.asarray(a)[:n])
+        return {"metallic": np.concatenate(metallic, 0),
+                "roughness": np.concatenate(roughness, 0),
+                "albedo": np.concatenate(albedo, 0)}
+
+    def predict_materials_at(self, points: np.ndarray, params=None) -> np.ndarray:
+        """[N,3] pts -> [N,5] (albedo3, metallic, roughness) for texture baking."""
+        params = self.params if params is None else params
+        m, r, a = jax.jit(predict_materials_mc)(params, jnp.asarray(points, jnp.float32))
+        return np.concatenate([np.asarray(a), np.asarray(m), np.asarray(r)], axis=1)
+
+    def env_light(self, h: int, w: int, params=None, gamma: bool = True):
+        params = self.params if params is None else params
+        return np.asarray(env_light_image(params, self.mcfg, h, w, gamma))
+
+    def get_step_input(self, step: int):
+        """Per-step 5th argument of the train step (host-sliced hit batch)."""
+        return self.next_train_batch()
+
+    def num_train_rays_per_step(self) -> int:
+        return self.cfg["train_ray_num"]
+
+    def make_render_chunk(self):
+        return self.make_shade_chunk()

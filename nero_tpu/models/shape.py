@@ -216,5 +216,10 @@ class NeROShapeModel:
         out = self._render_rays_chunked(params, chunk_fn, rays, step)
         return out["ray_rgb"].reshape(h, w, 3)
 
+    def get_step_input(self, step: int):
+        """Per-step 5th argument of the train step (full device dataset; the
+        ray batch is sampled inside jit)."""
+        return self.train_data
+
     def num_train_rays_per_step(self) -> int:
         return self.cfg["train_ray_num"]

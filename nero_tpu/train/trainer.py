@@ -92,16 +92,15 @@ class Trainer:
 
         train_step = self.model.make_train_step(self.optimizer)
         chunk_fn = self.model.make_render_chunk()
-        data = self.model.train_data
         rays_per_step = self.model.num_train_rays_per_step()
         base_key = jax.random.PRNGKey(self.cfg["random_seed"])
 
         total = self.cfg["total_step"]
-        log_accum = {}
         for step in range(start_step, total):
             key = jax.random.fold_in(base_key, step)
             params, opt_state, log = train_step(params, opt_state, key,
-                                                jnp.asarray(step), data)
+                                                jnp.asarray(step),
+                                                self.model.get_step_input(step))
             meter.tick(rays_per_step)
 
             if (step + 1) % self.cfg["train_log_step"] == 0:
