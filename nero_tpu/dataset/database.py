@@ -307,10 +307,13 @@ def get_database_eval_points(database: BaseDatabase, voxel_size: float = 0.01) -
         split = "test"
     elif isinstance(database, ProceduralDatabase):
         fn = None
-        split = "validation"
+        split = "all"
     else:
         raise NotImplementedError(type(database))
-    _, test_ids = get_database_split(database, split)
+    if split == "all":
+        test_ids = database.get_img_ids()  # full coverage for the analytic scene
+    else:
+        _, test_ids = get_database_split(database, split)
     pts = []
     for img_id in test_ids:
         depth, mask = database.get_depth(img_id)

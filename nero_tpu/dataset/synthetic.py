@@ -41,6 +41,7 @@ def render_view(pose: np.ndarray, K: np.ndarray, h: int, w: int, radius: float =
     pix = np.stack([xs, ys, np.ones_like(xs)], -1).reshape(-1, 3)
     K_inv = np.linalg.inv(K)
     d_cam = pix @ K_inv.T
+    d_cam_norm = np.linalg.norm(d_cam, axis=-1)
     R = pose[:, :3]
     t = pose[:, 3]
     d = d_cam @ R  # R^T d
@@ -71,7 +72,9 @@ def render_view(pose: np.ndarray, K: np.ndarray, h: int, w: int, radius: float =
     rgb = np.where(hit[:, None], color_obj, color_bg)
     rgb = np.clip(rgb, 0, 1) ** (1 / 2.2)  # simple gamma for display range
 
-    depth = np.where(hit, t_hit, 15.0).astype(np.float32)
+    # store pinhole z-depth (t is a distance along the unit ray; camera-space
+    # unit-ray z equals 1/||K^-1 p||) so mask_depth_to_pts backprojects exactly
+    depth = np.where(hit, t_hit / d_cam_norm, 15.0).astype(np.float32)
     img = (np.clip(rgb, 0, 1) * 255 + 0.5).astype(np.uint8)
     return img.reshape(h, w, 3), depth.reshape(h, w), hit.reshape(h, w)
 
