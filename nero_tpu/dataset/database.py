@@ -113,8 +113,8 @@ class _ColmapObjectDatabase(BaseDatabase):
         if self.max_len.startswith("raw"):
             self._resize_raw()
         else:
-            raise NotImplementedError(
-                "fixed-size crop mode is not implemented yet; use raw_<len>")
+            self.max_len = int(self.max_len)
+            self._crop()
 
     def _parse_colmap(self):
         cache = f"{self.root}/cache.pkl"
@@ -152,6 +152,45 @@ class _ColmapObjectDatabase(BaseDatabase):
             R_new = R @ R_rec.T
             t_new = (t - R @ offset) * scale
             self.poses[img_id] = np.concatenate([R_new, t_new[:, None]], -1).astype(np.float32)
+
+    def _crop(self):
+        """Fixed-size object-centred crops with rotated/rescaled cameras
+        (reference database.py:44-73, 187-203)."""
+        from nero_tpu.utils.pose import look_at_crop, project_points
+        size = self.max_len
+        meta = Path(f"{self.root}/images_{size}/meta_info.pkl")
+        if meta.exists():
+            self.poses, self.Ks = read_pickle(str(meta))
+            return
+        meta.parent.mkdir(exist_ok=True, parents=True)
+        poses_new, Ks_new = {}, {}
+        for img_id in self.img_ids:
+            pose, K = self.poses[img_id], self.Ks[img_id]
+            img = imread(f"{self.root}/images/{self.image_names[img_id]}")
+            h, w = img.shape[:2]
+            pts2d, _ = project_points(self.ref_points, pose, K)
+            pts2d[:, 0] = np.clip(pts2d[:, 0], 0, w - 1)
+            pts2d[:, 1] = np.clip(pts2d[:, 1], 0, h - 1)
+            pt_min, pt_max = np.min(pts2d, 0), np.max(pts2d, 0)
+            region = min(float(np.max(pt_max - pt_min)), h - 3, w - 3)
+
+            def centre(axis_min, axis_max, axis_size, bound):
+                if region <= axis_size:
+                    return (axis_min + axis_max) / 2
+                b0 = max(region / 2, axis_max - region / 2)
+                b1 = min(axis_min + region / 2, bound - 2 - region / 2)
+                return (b0 + b1) / 2
+
+            cx = centre(pt_min[0], pt_max[0], pt_max[0] - pt_min[0], w)
+            cy = centre(pt_min[1], pt_max[1], pt_max[1] - pt_min[1], h)
+            scale = size / region
+            img1, K1, pose1, _, _ = look_at_crop(
+                img, K, pose, np.asarray([cx, cy], np.float32), 0, scale, size, size)
+            imsave(f"{self.root}/images_{size}/{self.image_names[img_id]}", img1)
+            poses_new[img_id] = pose1
+            Ks_new[img_id] = K1
+        save_pickle([poses_new, Ks_new], str(meta))
+        self.poses, self.Ks = poses_new, Ks_new
 
     def _resize_raw(self):
         first = imread(f"{self.root}/images/{self.image_names[self.img_ids[0]]}")

@@ -97,8 +97,9 @@ class NeROShapeModel:
         }
 
     # ------------------------------------------------------------ train step
-    def make_train_step(self, optimizer: optax.GradientTransformation,
-                        loss_names=None, donate: bool = True):
+    def build_step_fn(self, optimizer: optax.GradientTransformation,
+                      loss_names=None, shard_rays: bool = True):
+        """Raw (un-jitted) train step — reused by the multi-scene vmap wrapper."""
         scfg, fg_lut, cfg, mesh = self.scfg, self.fg_lut, self.cfg, self.mesh
         loss_names = loss_names if loss_names is not None else cfg["loss"]
         rn = cfg["train_ray_num"]
@@ -107,7 +108,8 @@ class NeROShapeModel:
             k_batch, k_render = jax.random.split(key)
             batch = sample_ray_batch(k_batch, data["imgs_u8"], data["K_inv"],
                                      data["poses"], data["human_poses"], rn)
-            batch = constrain_rays(batch, mesh)
+            if shard_rays:
+                batch = constrain_rays(batch, mesh)
 
             def loss_fn(p):
                 out = render(p, scfg, fg_lut, batch["rays_o"], batch["rays_d"],
@@ -125,6 +127,11 @@ class NeROShapeModel:
             log["loss_total"] = loss
             return params, opt_state, log
 
+        return step_fn
+
+    def make_train_step(self, optimizer: optax.GradientTransformation,
+                        loss_names=None, donate: bool = True):
+        step_fn = self.build_step_fn(optimizer, loss_names)
         donate_args = (0, 1) if donate else ()
         return jax.jit(step_fn, donate_argnums=donate_args)
 

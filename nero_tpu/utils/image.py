@@ -111,6 +111,30 @@ def resize_img(img: np.ndarray, ratio: float) -> np.ndarray:
     return resize_bilinear(src, (hn, wn))
 
 
+def warp_perspective(img: np.ndarray, H: np.ndarray, out_wh: tuple[int, int]) -> np.ndarray:
+    """Homography warp (dst(x,y) = src(H^-1 [x,y,1])), bilinear, zeros outside.
+
+    cv2.warpPerspective-compatible pixel-grid convention (no half-pixel shift).
+    """
+    from scipy.ndimage import map_coordinates
+    w, h = out_wh
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    ones = np.ones_like(xs)
+    Hinv = np.linalg.inv(np.asarray(H, np.float64))
+    denom = Hinv[2, 0] * xs + Hinv[2, 1] * ys + Hinv[2, 2]
+    sx = (Hinv[0, 0] * xs + Hinv[0, 1] * ys + Hinv[0, 2]) / denom
+    sy = (Hinv[1, 0] * xs + Hinv[1, 1] * ys + Hinv[1, 2]) / denom
+    img2 = img[..., None] if img.ndim == 2 else img
+    out = np.stack([map_coordinates(img2[..., c].astype(np.float64),
+                                    [sy, sx], order=1, mode="constant", cval=0.0)
+                    for c in range(img2.shape[2])], axis=-1)
+    if np.issubdtype(img.dtype, np.integer):
+        out = np.clip(out + 0.5, 0, np.iinfo(img.dtype).max).astype(img.dtype)
+    else:
+        out = out.astype(img.dtype)
+    return out[..., 0] if img.ndim == 2 else out
+
+
 def concat_images(img0: np.ndarray, img1: np.ndarray, vert: bool = False) -> np.ndarray:
     if not vert:
         h0, h1 = img0.shape[0], img1.shape[0]

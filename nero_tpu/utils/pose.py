@@ -43,6 +43,48 @@ def mask_depth_to_pts(mask: np.ndarray, depth: np.ndarray, K: np.ndarray) -> np.
     return pts @ np.linalg.inv(K).T
 
 
+def image_plane_look_at_rotation(point_2d: np.ndarray) -> np.ndarray:
+    """Rotation that brings the normalized image point (x, y) onto the optical
+    axis: R @ [x, y, 1] ∝ [0, 0, 1]. (Parity: reference
+    utils/base_utils.py:763-772, utils/pose_utils.py:47-53.)"""
+    x, y = float(point_2d[0]), float(point_2d[1])
+    a = -np.arctan2(x, 1.0)
+    b = np.arctan2(y, 1.0)
+    ca, sa = np.cos(a), np.sin(a)
+    cb, sb = np.cos(b), np.sin(b)
+    Ry = np.asarray([[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]])
+    Rx = np.asarray([[1, 0, 0], [0, cb, -sb], [0, sb, cb]])
+    return Rx @ Ry
+
+
+def look_at_crop(img: np.ndarray, K: np.ndarray, pose: np.ndarray,
+                 position: np.ndarray, angle: float, scale: float,
+                 h: int, w: int):
+    """Rotate the camera to centre `position`, scale focal, warp the image.
+
+    Returns (img_new, K_new, pose_new, pose_rect, H). Parity: reference
+    utils/pose_utils.py:308-321 (used by the GlossyReal fixed-size crop)."""
+    from nero_tpu.utils.image import downsample_gaussian_blur, warp_perspective
+    f_raw = (K[0, 0] + K[1, 1]) / 2.0
+    centered = np.asarray(position, np.float64) - K[:2, 2]
+    f_new = np.sqrt(np.linalg.norm(centered) ** 2 + f_raw ** 2)
+    R_new = image_plane_look_at_rotation(centered / f_raw)
+    ca, sa = np.cos(angle), np.sin(angle)
+    R_z = np.asarray([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]])
+    R_new = R_z @ R_new
+    f_new = f_new * scale
+    K_new = np.asarray([[f_new, 0, w / 2], [0, f_new, h / 2], [0, 0, 1]], np.float32)
+
+    H = K_new @ R_new @ np.linalg.inv(K)
+    if scale < 1.0:
+        img = downsample_gaussian_blur(img, scale)
+    img_new = warp_perspective(img, H, (w, h))
+
+    pose_rect = np.concatenate([R_new, np.zeros([3, 1])], 1).astype(np.float32)
+    pose_new = pose_compose(pose, pose_rect)
+    return img_new, K_new, pose_new.astype(np.float32), pose_rect, H
+
+
 def look_at_rotation(eye: np.ndarray, target: np.ndarray,
                      world_up=np.asarray([0.0, 0.0, 1.0])) -> np.ndarray:
     """OpenCV-convention w2c rotation (rows = right, down, forward)."""
