@@ -255,6 +255,73 @@ class CustomDatabase(_ColmapObjectDatabase):
         super().__init__(database_name, root, directions[0], directions[1])
 
 
+class NeRFSyntheticDatabase(BaseDatabase):
+    """Blender NeRF-Synthetic / Shiny-Blender scenes.
+
+    Name format: 'nerf_synthetic/<scene>/<bg>_<res>' (e.g. lego/black_800,
+    the reference's vestigial default database_name, renderer.py:96).
+    Reads transforms_{train,test}.json; OpenGL c2w matrices are converted to
+    OpenCV w2c; RGBA composited onto the requested background color.
+    """
+
+    def __init__(self, database_name: str):
+        super().__init__(database_name)
+        import json
+        _, scene, spec = database_name.split("/")
+        bg, res = spec.split("_")
+        self.res = int(res)
+        self.bg = {"black": 0.0, "white": 1.0}[bg]
+        self.root = f"{DATA_ROOT}/nerf_synthetic/{scene}"
+        self.frames, self.img_ids = {}, []
+        cam_angle_x = None
+        for split in ("train", "test", "val"):
+            path = f"{self.root}/transforms_{split}.json"
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                meta = json.load(f)
+            cam_angle_x = meta["camera_angle_x"]
+            for i, frame in enumerate(meta["frames"]):
+                img_id = f"{split}-{i}"
+                self.img_ids.append(img_id)
+                self.frames[img_id] = frame
+        assert cam_angle_x is not None, f"no transforms_*.json under {self.root}"
+        focal = 0.5 * self.res / np.tan(0.5 * cam_angle_x)
+        self.K = np.asarray([[focal, 0, self.res / 2],
+                             [0, focal, self.res / 2], [0, 0, 1]], np.float32)
+
+    def get_image(self, img_id):
+        frame = self.frames[img_id]
+        img = imread(f"{self.root}/{frame['file_path']}.png")
+        if img.shape[0] != self.res:
+            img = resize_img(img, self.res / img.shape[0])
+        if img.shape[-1] == 4:
+            rgb = img[..., :3].astype(np.float32) / 255.0
+            alpha = img[..., 3:].astype(np.float32) / 255.0
+            img = rgb * alpha + self.bg * (1 - alpha)
+            img = (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
+        return img[..., :3]
+
+    def get_K(self, img_id):
+        return self.K.copy()
+
+    def get_pose(self, img_id):
+        c2w = np.asarray(self.frames[img_id]["transform_matrix"], np.float64)
+        # OpenGL camera (x right, y up, z backward) -> OpenCV (y down, z forward)
+        c2w = c2w[:3] @ np.diag([1.0, -1.0, -1.0, 1.0])
+        R = c2w[:, :3].T
+        t = -R @ c2w[:, 3]
+        return np.concatenate([R, t[:, None]], -1).astype(np.float32)
+
+    def get_img_ids(self):
+        return self.img_ids
+
+    def get_depth(self, img_id):
+        img = self.get_image(img_id)
+        h, w = img.shape[:2]
+        return np.ones([h, w], np.float32), np.ones([h, w], bool)
+
+
 class ProceduralDatabase(BaseDatabase):
     """Analytic scene rendered on the fly: 'proc/<kind>/<res>[_<views>]'.
 
@@ -303,6 +370,7 @@ def parse_database_name(database_name: str) -> BaseDatabase:
         "real": GlossyRealDatabase,
         "custom": CustomDatabase,
         "proc": ProceduralDatabase,
+        "nerf_synthetic": NeRFSyntheticDatabase,
     }
     database_type = database_name.split("/")[0]
     if database_type not in name2database:

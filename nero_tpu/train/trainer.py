@@ -39,7 +39,10 @@ class Trainer:
         "val_interval": 10000,
         "save_interval": 500,
         "random_seed": 6033,
-        "matmul_precision": "highest",
+        # bf16 MXU inputs / f32 accumulation: ~1.6x faster steps at a measured
+        # ~0.1 dB validation-PSNR cost on the procedural scene; set "highest"
+        # for full-f32 matmuls.
+        "matmul_precision": "default",
         "model_root": "data/model",
     }
 
