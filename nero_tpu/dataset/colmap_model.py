@@ -168,6 +168,33 @@ def read_model(sparse_dir: str):
     return cameras, images, points
 
 
+def write_cameras_binary(cameras: dict[int, Camera], path: str):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(cameras)))
+        for cam in cameras.values():
+            model_id = _MODEL_NAME_TO_ID[cam.model]
+            f.write(struct.pack("<iiQQ", cam.id, model_id, cam.width, cam.height))
+            f.write(struct.pack(f"<{len(cam.params)}d", *cam.params))
+
+
+def write_images_binary(images: dict[int, Image], path: str):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(images)))
+        for img in images.values():
+            f.write(struct.pack("<i", img.id))
+            f.write(struct.pack("<4d", *img.qvec))
+            f.write(struct.pack("<3d", *img.tvec))
+            f.write(struct.pack("<i", img.camera_id))
+            f.write(img.name.encode("utf-8") + b"\x00")
+            f.write(struct.pack("<Q", 0))  # no 2D points
+
+
+def write_model(cameras: dict, images: dict, sparse_dir: str):
+    os.makedirs(sparse_dir, exist_ok=True)
+    write_cameras_binary(cameras, os.path.join(sparse_dir, "cameras.bin"))
+    write_images_binary(images, os.path.join(sparse_dir, "images.bin"))
+
+
 def camera_K(camera: Camera) -> np.ndarray:
     """Intrinsics matrix from a COLMAP camera (pinhole family only)."""
     if camera.model in ("SIMPLE_RADIAL", "SIMPLE_PINHOLE"):

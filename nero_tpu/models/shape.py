@@ -223,6 +223,36 @@ class NeROShapeModel:
         out = self._render_rays_chunked(params, chunk_fn, rays, step)
         return out["ray_rgb"].reshape(h, w, 3)
 
+    def predict_materials(self, params=None, mesh_path: str | None = None,
+                          vertices: np.ndarray | None = None, batch_size: int = 8192):
+        """Stage-I per-vertex materials from the shading net's heads
+        (reference renderer.py:629-647): SDF features at mesh vertices ->
+        metallic/roughness/albedo predictors."""
+        from nero_tpu.fields.app_shading import predict_materials as _pm
+        from nero_tpu.fields.sdf import sdf_apply
+        params = self.params if params is None else params
+        if vertices is None:
+            from nero_tpu.geometry.mesh_io import read_ply
+            vertices = read_ply(mesh_path)["vertices"]
+        scfg = self.scfg
+
+        @jax.jit
+        def fn(p, x):
+            feats = sdf_apply(p["sdf"], x, scfg.sdf_cfg)[..., 1:]
+            return _pm(p["shader"], x, feats)
+
+        out = {"metallic": [], "roughness": [], "albedo": []}
+        for vi in range(0, len(vertices), batch_size):
+            chunk = np.asarray(vertices[vi:vi + batch_size], np.float32)
+            n = len(chunk)
+            if n < batch_size:
+                chunk = np.concatenate([chunk, np.zeros((batch_size - n, 3), np.float32)])
+            m, r, a = fn(params, jnp.asarray(chunk))
+            out["metallic"].append(np.asarray(m)[:n])
+            out["roughness"].append(np.asarray(r)[:n])
+            out["albedo"].append(np.asarray(a)[:n])
+        return {k: np.concatenate(v, 0) for k, v in out.items()}
+
     def get_step_input(self, step: int):
         """Per-step 5th argument of the train step (full device dataset; the
         ray batch is sampled inside jit)."""

@@ -44,6 +44,10 @@ class Trainer:
         # for full-f32 matmuls.
         "matmul_precision": "default",
         "model_root": "data/model",
+        # write a jax profiler trace of steps [profile_start, profile_start+profile_steps)
+        "profile_dir": None,
+        "profile_start": 20,
+        "profile_steps": 5,
     }
 
     def __init__(self, cfg: dict):
@@ -99,11 +103,20 @@ class Trainer:
         base_key = jax.random.PRNGKey(self.cfg["random_seed"])
 
         total = self.cfg["total_step"]
+        prof_dir = self.cfg["profile_dir"]
+        prof_window = (range(self.cfg["profile_start"],
+                             self.cfg["profile_start"] + self.cfg["profile_steps"])
+                       if prof_dir else range(0))
         for step in range(start_step, total):
+            if prof_dir and step == prof_window.start:
+                jax.profiler.start_trace(prof_dir)
             key = jax.random.fold_in(base_key, step)
             params, opt_state, log = train_step(params, opt_state, key,
                                                 jnp.asarray(step),
                                                 self.model.get_step_input(step))
+            if prof_dir and step == prof_window.stop - 1:
+                jax.block_until_ready(log["loss_total"])
+                jax.profiler.stop_trace()
             meter.tick(rays_per_step)
 
             if (step + 1) % self.cfg["train_log_step"] == 0:

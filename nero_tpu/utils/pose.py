@@ -43,6 +43,37 @@ def mask_depth_to_pts(mask: np.ndarray, depth: np.ndarray, K: np.ndarray) -> np.
     return pts @ np.linalg.inv(K).T
 
 
+def rotation_angle_deg(R0: np.ndarray, R1: np.ndarray) -> float:
+    """Geodesic angle between two rotations, degrees."""
+    cos = (np.trace(R0.T @ R1) - 1.0) / 2.0
+    return float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+
+
+def pose_errors(pose_pr: np.ndarray, pose_gt: np.ndarray):
+    """(rotation error deg, camera-centre distance) between two w2c poses.
+    Parity niche: reference utils/pose_utils.py pose-error helpers."""
+    r_err = rotation_angle_deg(pose_pr[:, :3], pose_gt[:, :3])
+    c_pr = -pose_pr[:, :3].T @ pose_pr[:, 3]
+    c_gt = -pose_gt[:, :3].T @ pose_gt[:, 3]
+    return r_err, float(np.linalg.norm(c_pr - c_gt))
+
+
+def pose_auc(errors, thresholds=(5.0, 10.0, 20.0)):
+    """Area-under-curve of the error CDF at the given thresholds (percent)."""
+    errors = np.sort(np.asarray(errors, np.float64))
+    n = len(errors)
+    recall = (np.arange(n) + 1) / n
+    errors = np.concatenate([[0.0], errors])
+    recall = np.concatenate([[0.0], recall])
+    aucs = []
+    for t in thresholds:
+        last = np.searchsorted(errors, t)
+        r = np.concatenate([recall[:last], [recall[min(last, n) - 1] if last > 0 else 0.0]])
+        e = np.concatenate([errors[:last], [t]])
+        aucs.append(float(np.trapezoid(r, e) / t))
+    return aucs
+
+
 def image_plane_look_at_rotation(point_2d: np.ndarray) -> np.ndarray:
     """Rotation that brings the normalized image point (x, y) onto the optical
     axis: R @ [x, y, 1] ∝ [0, 0, 1]. (Parity: reference

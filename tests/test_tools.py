@@ -100,6 +100,24 @@ def test_colmap_text_model(tmp_path):
     np.testing.assert_allclose(images[1].rotation(), np.eye(3), atol=1e-9)
 
 
+def test_colmap_binary_roundtrip(tmp_path):
+    """Binary sparse-model write/read round-trip (the reference's own test
+    pattern, colmap/test_read_write_model.py)."""
+    from nero_tpu.dataset.colmap_model import Camera, Image, write_model
+    rng = np.random.RandomState(0)
+    q = rng.randn(4)
+    q /= np.linalg.norm(q)
+    cameras = {1: Camera(1, "PINHOLE", 640, 480, np.asarray([500., 510., 320., 240.]))}
+    images = {7: Image(7, q, np.asarray([0.5, -0.25, 2.0]), 1, "photo_01.png")}
+    write_model(cameras, images, str(tmp_path))
+    cams2, imgs2, _ = read_model(str(tmp_path))
+    assert cams2[1].model == "PINHOLE" and cams2[1].width == 640
+    np.testing.assert_allclose(cams2[1].params, cameras[1].params)
+    np.testing.assert_allclose(imgs2[7].qvec, q)
+    np.testing.assert_allclose(imgs2[7].tvec, [0.5, -0.25, 2.0])
+    assert imgs2[7].name == "photo_01.png" and imgs2[7].camera_id == 1
+
+
 def test_qvec_roundtrip():
     rng = np.random.RandomState(0)
     for _ in range(5):
