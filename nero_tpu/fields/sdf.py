@@ -104,11 +104,22 @@ def sdf_value(params, x: jnp.ndarray, cfg: SDFConfig = SDFConfig()) -> jnp.ndarr
     return sdf_apply(params, x, cfg)[..., :1]
 
 
-def sdf_with_grad(params, x: jnp.ndarray, cfg: SDFConfig = SDFConfig()):
+def sdf_with_grad(params, x: jnp.ndarray, cfg: SDFConfig = SDFConfig(),
+                  mode: str = "rev"):
     """Returns (sdf [...,1], features [...,d_out-1], grad [...,3]).
 
     grad is d(sdf)/dx, differentiable (second order works through it).
+    mode: 'rev' — reverse-mode spatial gradient (one extra backward pass);
+          'fwd' — jax.linearize + 3 basis tangents (three linear passes that
+          transpose cheaply under the outer training gradient).
     """
+    if mode == "fwd":
+        out, lin = jax.linearize(lambda p: sdf_apply(params, p, cfg), x)
+        basis = jnp.eye(3, dtype=x.dtype)
+        comps = [lin(jnp.broadcast_to(basis[i], x.shape))[..., 0] for i in range(3)]
+        grad = jnp.stack(comps, axis=-1)
+        return out[..., :1], out[..., 1:], grad
+
     out = sdf_apply(params, x, cfg)
 
     def scalar_sum(pts):

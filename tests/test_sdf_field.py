@@ -43,6 +43,16 @@ def test_sdf_gradient_is_true_derivative():
         np.testing.assert_allclose(np.asarray(g[0, i]), np.asarray(fd[0, 0]), atol=1e-2)
 
 
+def test_fwd_grad_mode_matches_rev():
+    cfg = SDFConfig(n_layers=2, d_hidden=64, d_out=65)
+    params = init_sdf(jax.random.PRNGKey(5), cfg)
+    x = jnp.asarray(np.random.RandomState(6).randn(32, 3), jnp.float32) * 0.4
+    s1, f1, g1 = sdf_with_grad(params, x, cfg, mode="rev")
+    s2, f2, g2 = sdf_with_grad(params, x, cfg, mode="fwd")
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
 def test_second_order_gradients_flow():
     """Eikonal-style loss must be differentiable w.r.t. params (double backprop)."""
     cfg = SDFConfig(n_layers=2, d_hidden=64, d_out=65)
