@@ -43,18 +43,21 @@ def main():
     # steady-state step index: occ loss branch active (dominant late-training cost)
     step_idx = jnp.asarray(25000)
 
-    # warmup / compile
-    for i in range(3):
+    # warmup: long enough to flush compiles AND the runtime's deferred work
+    # (the axon tunnel defers real execution past block_until_ready; a host
+    # readback is the only true sync)
+    for i in range(12):
         params, opt_state, log = step_fn(params, opt_state,
                                          jax.random.fold_in(key, i), step_idx, data)
-    jax.block_until_ready(log["loss_total"])
+        if i % 4 == 3:
+            float(log["loss_total"])
 
     n_steps = 30
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, opt_state, log = step_fn(params, opt_state,
                                          jax.random.fold_in(key, 100 + i), step_idx, data)
-    jax.block_until_ready(log["loss_total"])
+    float(log["loss_total"])  # chain sync: every step feeds the next
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_steps * cfg["train_ray_num"] / dt

@@ -368,6 +368,201 @@ int bvh_trace(const float* nodes_f, const int* nodes_i, int n_nodes,
 }
 
 // ---------------------------------------------------------------------------
+// Mesh -> signed-distance grid (for TPU sphere-traced visibility)
+// ---------------------------------------------------------------------------
+// Unsigned distance via pruned BVH closest-triangle queries; sign via +x ray
+// crossing parity per (y,z) row (mesh assumed watertight, as surface-nets
+// output is). Feeds geometry/grid_tracer.py.
+
+static inline void closest_point_tri(const float* p, const float* a,
+                                     const float* eb, const float* ec,
+                                     float* out) {
+  // Ericson, Real-Time Collision Detection (public algorithm): closest point
+  // on triangle (a, a+eb, a+ec) to p.
+  float ap[3] = {p[0] - a[0], p[1] - a[1], p[2] - a[2]};
+  float d1 = eb[0] * ap[0] + eb[1] * ap[1] + eb[2] * ap[2];
+  float d2 = ec[0] * ap[0] + ec[1] * ap[1] + ec[2] * ap[2];
+  float bb = eb[0] * eb[0] + eb[1] * eb[1] + eb[2] * eb[2];
+  float bc = eb[0] * ec[0] + eb[1] * ec[1] + eb[2] * ec[2];
+  float cc = ec[0] * ec[0] + ec[1] * ec[1] + ec[2] * ec[2];
+  float v = 0.f, w = 0.f;
+  float det = bb * cc - bc * bc;
+  if (det > 1e-20f) {
+    v = (cc * d1 - bc * d2) / det;
+    w = (bb * d2 - bc * d1) / det;
+  }
+  if (v < 0 || w < 0 || v + w > 1) {
+    // clamp to edges
+    float best = 1e30f;
+    float cand[3];
+    // edge a-b: t = d1/bb
+    float t = bb > 1e-20f ? d1 / bb : 0.f;
+    t = std::min(1.f, std::max(0.f, t));
+    for (int i = 0; i < 3; ++i) cand[i] = a[i] + t * eb[i];
+    float dist = 0;
+    for (int i = 0; i < 3; ++i) dist += (cand[i] - p[i]) * (cand[i] - p[i]);
+    if (dist < best) { best = dist; out[0] = cand[0]; out[1] = cand[1]; out[2] = cand[2]; }
+    // edge a-c
+    t = cc > 1e-20f ? d2 / cc : 0.f;
+    t = std::min(1.f, std::max(0.f, t));
+    for (int i = 0; i < 3; ++i) cand[i] = a[i] + t * ec[i];
+    dist = 0;
+    for (int i = 0; i < 3; ++i) dist += (cand[i] - p[i]) * (cand[i] - p[i]);
+    if (dist < best) { best = dist; out[0] = cand[0]; out[1] = cand[1]; out[2] = cand[2]; }
+    // edge b-c
+    float bcv[3] = {ec[0] - eb[0], ec[1] - eb[1], ec[2] - eb[2]};
+    float bp[3] = {ap[0] - eb[0], ap[1] - eb[1], ap[2] - eb[2]};
+    float ll = bcv[0] * bcv[0] + bcv[1] * bcv[1] + bcv[2] * bcv[2];
+    t = ll > 1e-20f ? (bcv[0] * bp[0] + bcv[1] * bp[1] + bcv[2] * bp[2]) / ll : 0.f;
+    t = std::min(1.f, std::max(0.f, t));
+    for (int i = 0; i < 3; ++i) cand[i] = a[i] + eb[i] + t * bcv[i];
+    dist = 0;
+    for (int i = 0; i < 3; ++i) dist += (cand[i] - p[i]) * (cand[i] - p[i]);
+    if (dist < best) { best = dist; out[0] = cand[0]; out[1] = cand[1]; out[2] = cand[2]; }
+  } else {
+    for (int i = 0; i < 3; ++i) out[i] = a[i] + v * eb[i] + w * ec[i];
+  }
+}
+
+static inline float aabb_dist2(const float* bmin, const float* bmax, const float* p) {
+  float d2 = 0;
+  for (int a = 0; a < 3; ++a) {
+    float d = std::max({bmin[a] - p[a], 0.f, p[a] - bmax[a]});
+    d2 += d * d;
+  }
+  return d2;
+}
+
+// unsigned distance: stack-based pruned traversal
+static float bvh_nearest(const float* nodes_f, const int* nodes_i,
+                         const float* tri_data, const float* p) {
+  float best2 = 1e30f;
+  int stack[128];
+  int sp = 0;
+  stack[sp++] = 0;
+  while (sp > 0) {
+    int node = stack[--sp];
+    const float* f = nodes_f + 8 * node;
+    if (aabb_dist2(f, f + 3, p) >= best2) continue;
+    const int* m = nodes_i + 4 * node;
+    if (m[0] >= 0) {
+      for (int s = m[0]; s < m[0] + m[1]; ++s) {
+        const float* td = tri_data + 9 * s;
+        float cp[3];
+        closest_point_tri(p, td, td + 3, td + 6, cp);
+        float d2 = 0;
+        for (int i = 0; i < 3; ++i) d2 += (cp[i] - p[i]) * (cp[i] - p[i]);
+        best2 = std::min(best2, d2);
+      }
+    } else {
+      // children: node+1 and the one at node+1's subtree end = miss of node+1
+      int left = node + 1;
+      int right = nodes_i[4 * left + 2];  // left's miss link == right sibling
+      if (right >= 0 && sp < 127) stack[sp++] = right;
+      if (sp < 127) stack[sp++] = left;
+    }
+  }
+  return std::sqrt(best2);
+}
+
+// all +x crossings of the row ray (origin o, dir +x), appended to ts
+static void bvh_row_crossings(const float* nodes_f, const int* nodes_i,
+                              const float* tri_data, const float* o,
+                              std::vector<float>& ts) {
+  int node = 0;
+  float inv_d[3] = {1.0f, 1e12f, 1e12f};
+  while (node >= 0) {
+    const float* f = nodes_f + 8 * node;
+    const int* m = nodes_i + 4 * node;
+    if (!aabb_hit(f, f + 3, o, inv_d, 1e30f)) {
+      node = m[2];
+      continue;
+    }
+    if (m[0] >= 0) {
+      for (int s = m[0]; s < m[0] + m[1]; ++s) {
+        const float* td = tri_data + 9 * s;
+        const float *v0 = td, *e1 = td + 3, *e2 = td + 6;
+        // Moller-Trumbore specialised to d = +x
+        float p[3] = {0.f, -e2[2], e2[1]};
+        float det = e1[0] * p[0] + e1[1] * p[1] + e1[2] * p[2];
+        if (std::abs(det) < 1e-14f) continue;
+        float inv_det = 1.0f / det;
+        float tv[3] = {o[0] - v0[0], o[1] - v0[1], o[2] - v0[2]};
+        float u = (tv[0] * p[0] + tv[1] * p[1] + tv[2] * p[2]) * inv_det;
+        if (u < 0.f || u > 1.f) continue;
+        float q[3] = {tv[1] * e1[2] - tv[2] * e1[1],
+                      tv[2] * e1[0] - tv[0] * e1[2],
+                      tv[0] * e1[1] - tv[1] * e1[0]};
+        float v = q[0] * inv_det;  // d . q with d = +x
+        if (v < 0.f || u + v > 1.f) continue;
+        float t = (e2[0] * q[0] + e2[1] * q[1] + e2[2] * q[2]) * inv_det;
+        ts.push_back(t);
+      }
+      node = m[2];
+    } else {
+      node = node + 1;
+    }
+  }
+}
+
+// signed distance at arbitrary points (positive outside); parity sign per point
+int mesh_sdf_points(const float* nodes_f, const int* nodes_i, int n_nodes,
+                    const float* tri_data, int n_tris,
+                    const float* pts, int n_pts, float* out) {
+  (void)n_nodes;
+  (void)n_tris;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 256)
+#endif
+  for (int i = 0; i < n_pts; ++i) {
+    const float* p = pts + 3 * i;
+    float d = bvh_nearest(nodes_f, nodes_i, tri_data, p);
+    std::vector<float> ts;
+    float o[3] = {p[0], p[1] + 0.41e-4f, p[2] + 0.73e-4f};
+    bvh_row_crossings(nodes_f, nodes_i, tri_data, o, ts);
+    int crossings = 0;
+    for (float t : ts) crossings += t > 0.0f;
+    out[i] = (crossings & 1) ? -d : d;
+  }
+  return 0;
+}
+
+// out: [res,res,res] signed distance (positive outside), C order (x-major)
+int mesh_sdf_grid(const float* nodes_f, const int* nodes_i, int n_nodes,
+                  const float* tri_data, int n_tris,
+                  const float* bmin, const float* bmax, int res, float* out) {
+  (void)n_nodes;
+  (void)n_tris;
+  float step[3];
+  for (int a = 0; a < 3; ++a) step[a] = (bmax[a] - bmin[a]) / (res - 1);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (int y = 0; y < res; ++y) {
+    std::vector<float> ts;
+    for (int z = 0; z < res; ++z) {
+      // parity crossings along the +x row through (y, z), tiny jitter to
+      // dodge exact edge hits
+      ts.clear();
+      float o[3] = {bmin[0] - 1.0f, bmin[1] + y * step[1] + 0.37e-4f,
+                    bmin[2] + z * step[2] + 0.61e-4f};
+      bvh_row_crossings(nodes_f, nodes_i, tri_data, o, ts);
+      std::sort(ts.begin(), ts.end());
+      for (int x = 0; x < res; ++x) {
+        float p[3] = {bmin[0] + x * step[0], bmin[1] + y * step[1],
+                      bmin[2] + z * step[2]};
+        float d = bvh_nearest(nodes_f, nodes_i, tri_data, p);
+        float tx = p[0] - o[0];
+        int crossings = (int)(std::upper_bound(ts.begin(), ts.end(), tx) - ts.begin());
+        bool inside = (crossings & 1) != 0;
+        out[((size_t)x * res + y) * res + z] = inside ? -d : d;
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Rasterizer: depth maps + UV-space attribute baking
 // ---------------------------------------------------------------------------
 // verts_cam: [V,3] camera-space vertices; tris [T,3]; K row-major 3x3.

@@ -55,6 +55,10 @@ def get_lib():
         lib.bvh_trace.argtypes = [_F32P, _I32P, ctypes.c_int, _F32P, ctypes.c_int,
                                   _F32P, _F32P, ctypes.c_int, ctypes.c_float,
                                   _F32P, _F32P, _F32P, _U8P]
+        lib.mesh_sdf_grid.argtypes = [_F32P, _I32P, ctypes.c_int, _F32P, ctypes.c_int,
+                                      _F32P, _F32P, ctypes.c_int, _F32P]
+        lib.mesh_sdf_points.argtypes = [_F32P, _I32P, ctypes.c_int, _F32P,
+                                        ctypes.c_int, _F32P, ctypes.c_int, _F32P]
         lib.rasterize_depth.argtypes = [_F32P, ctypes.c_int, _I32P, ctypes.c_int,
                                         _F32P, ctypes.c_int, ctypes.c_int, _F32P]
         lib.rasterize_uv.argtypes = [_F32P, ctypes.c_int, _I32P, ctypes.c_int,
@@ -149,6 +153,36 @@ def bvh_trace_cpu(bvh: dict, rays_o: np.ndarray, rays_d: np.ndarray,
                   inters.ctypes.data_as(_F32P), normals.ctypes.data_as(_F32P),
                   depth.ctypes.data_as(_F32P), hit.ctypes.data_as(_U8P))
     return inters, normals, depth, hit.astype(bool)
+
+
+def mesh_sdf_grid(bvh: dict, bmin, bmax, res: int) -> np.ndarray:
+    """Signed-distance grid of a watertight mesh (positive outside).
+
+    Returns [res,res,res] f32, x-major. Sign from +x crossing parity,
+    magnitude from BVH closest-triangle queries (OpenMP)."""
+    lib = get_lib()
+    bmin = _as_f32(bmin)
+    bmax = _as_f32(bmax)
+    out = np.empty((res, res, res), np.float32)
+    lib.mesh_sdf_grid(bvh["nodes_f"].ctypes.data_as(_F32P),
+                      bvh["nodes_i"].ctypes.data_as(_I32P), len(bvh["nodes_f"]),
+                      bvh["tri_data"].ctypes.data_as(_F32P), len(bvh["tri_data"]),
+                      bmin.ctypes.data_as(_F32P), bmax.ctypes.data_as(_F32P),
+                      res, out.ctypes.data_as(_F32P))
+    return out
+
+
+def mesh_sdf_points(bvh: dict, pts: np.ndarray) -> np.ndarray:
+    """Signed distance (positive outside) of a watertight mesh at [N,3] points."""
+    lib = get_lib()
+    pts = _as_f32(pts)
+    out = np.empty((len(pts),), np.float32)
+    lib.mesh_sdf_points(bvh["nodes_f"].ctypes.data_as(_F32P),
+                        bvh["nodes_i"].ctypes.data_as(_I32P), len(bvh["nodes_f"]),
+                        bvh["tri_data"].ctypes.data_as(_F32P), len(bvh["tri_data"]),
+                        pts.ctypes.data_as(_F32P), len(pts),
+                        out.ctypes.data_as(_F32P))
+    return out
 
 
 def rasterize_depth(verts_cam: np.ndarray, tris: np.ndarray, K: np.ndarray,

@@ -1,0 +1,237 @@
+"""Neural visibility: distill the mesh SDF into a small MLP, trace by
+fixed-step marching + secant refinement — pure batched matmuls on the MXU.
+
+Why: Stage-II shading traces 512x768 rays per step. Every pointer/gather
+structure measured on this TPU tops out near ~60M scalar gathers/s (XLA BVH
+wavefront: 0.06 Mrays/s; SDF-grid sphere trace: 0.12 Mrays/s) — hopeless
+against the reference's CUDA BVH. The TPU-native move is to spend FLOPs
+instead of lookups (cf. "Neural Intersection Function", arXiv 2306.07191):
+
+  1. at Stage-II init, sample signed distances of the fixed mesh (exact, C++
+     BVH closest-point + parity sign) and distill them into a compact
+     PE+MLP field (seconds of Adam on-device);
+  2. per query: evaluate the field at M stratified points along each ray in
+     ONE batched matmul pass, find the first +/- sign change, then a few
+     bisection rounds refine the root; the normal is the field gradient.
+
+Every step of this is dense linear algebra with static shapes — exactly what
+the MXU wants. Accuracy is bounded by the distillation residual (reported at
+build time); visibility consumers (indirect-light MLPs) are smooth in the
+hit position, so sub-voxel hit error is immaterial.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nero_tpu.geometry.bvh_jax import RayTracer
+from nero_tpu.geometry.native import mesh_sdf_points
+from nero_tpu.ops.mlp import apply_dense, init_dense
+from nero_tpu.utils.encodings import positional_encode, positional_encode_dim
+
+
+# ---------------------------------------------------------------------------
+# The distilled field
+# ---------------------------------------------------------------------------
+
+def init_field(key, width: int = 128, depth: int = 4, pe: int = 6):
+    in_dim = positional_encode_dim(3, pe)
+    dims = [in_dim] + [width] * (depth - 1) + [1]
+    keys = jax.random.split(key, len(dims) - 1)
+    return {"layers": [init_dense(k, dims[i], dims[i + 1], weight_norm=False)
+                       for i, k in enumerate(keys)]}
+
+
+def field_apply(params, x: jnp.ndarray, pe: int = 6) -> jnp.ndarray:
+    h = positional_encode(x, pe)
+    layers = params["layers"]
+    for layer in layers[:-1]:
+        h = jax.nn.relu(apply_dense(layer, h))
+    return apply_dense(layers[-1], h)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Distillation
+# ---------------------------------------------------------------------------
+
+def _sample_training_points(vertices, triangles, n_surface, n_uniform, bound, rng):
+    # area-weighted surface samples with gaussian offsets at three scales
+    v0 = vertices[triangles[:, 0]]
+    v1 = vertices[triangles[:, 1]]
+    v2 = vertices[triangles[:, 2]]
+    areas = np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+    probs = areas / areas.sum()
+    tri_idx = rng.choice(len(triangles), n_surface, p=probs)
+    u = rng.rand(n_surface, 1)
+    v = rng.rand(n_surface, 1)
+    flip = (u + v) > 1
+    u = np.where(flip, 1 - u, u)
+    v = np.where(flip, 1 - v, v)
+    surf = v0[tri_idx] + u * (v1[tri_idx] - v0[tri_idx]) + v * (v2[tri_idx] - v0[tri_idx])
+    scales = np.repeat(np.asarray([0.002, 0.01, 0.05]), n_surface // 3 + 1)[:n_surface]
+    near = surf + rng.randn(n_surface, 3) * scales[:, None]
+    uni = rng.uniform(-bound, bound, (n_uniform, 3))
+    return np.concatenate([near, uni], 0).astype(np.float32)
+
+
+def distill_field(vertices, triangles, bvh_np, *, width=128, depth=4, pe=6,
+                  n_samples=1_500_000, steps=3000, batch=65536, clamp=0.1,
+                  seed=0, bound=1.05):
+    """Fit the field to exact mesh signed distances. Returns (params, rms_band)."""
+    rng = np.random.RandomState(seed)
+    pts = _sample_training_points(vertices, triangles, int(n_samples * 0.7),
+                                  n_samples - int(n_samples * 0.7), bound, rng)
+    target = np.clip(mesh_sdf_points(bvh_np, pts), -clamp, clamp)
+
+    params = init_field(jax.random.PRNGKey(seed), width, depth, pe)
+    opt = optax.adam(optax.warmup_cosine_decay_schedule(0.0, 2e-3, 100, steps, 1e-4))
+    opt_state = opt.init(params)
+    pts_j = jnp.asarray(pts)
+    tgt_j = jnp.asarray(target)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        idx = jax.random.randint(key, (batch,), 0, pts_j.shape[0])
+        x = pts_j[idx]
+        t = tgt_j[idx]
+
+        def loss_fn(p):
+            pred = jnp.clip(field_apply(p, x), -clamp, clamp)
+            return jnp.mean((pred - t) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(seed + 1)
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, i))
+
+    # report the near-band residual (what visibility accuracy depends on)
+    band = np.abs(target) < 0.02
+    pred = np.asarray(field_apply(params, jnp.asarray(pts[band][:100000])))
+    rms = float(np.sqrt(np.mean((pred - target[band][:100000]) ** 2)))
+    return params, rms
+
+
+# ---------------------------------------------------------------------------
+# Tracing
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_coarse", "n_refine", "use_fused"))
+def neural_trace(params, packed, rays_o, rays_d, bound: float, far=10.0,
+                 n_coarse: int = 48, n_refine: int = 8, t0: float = 0.012,
+                 use_fused: bool = False):
+    """March the field, find the first +->- sign change, bisect, grad normal.
+
+    Returns (t [R], normal [R,3] inward (-grad), hit [R]). With use_fused the
+    marching evaluations run through the VMEM-resident Pallas kernel
+    (ops/pallas/field_kernel.py, ~5x the XLA path); the hit-point gradient
+    stays on the differentiable jnp field."""
+    if use_fused:
+        from nero_tpu.ops.pallas.field_kernel import field_fwd_fused
+        field_eval = lambda pts: field_fwd_fused(packed, pts)
+    else:
+        field_eval = lambda pts: field_apply(params, pts)
+    r = rays_o.shape[0]
+    # the field is only trained inside the bounding sphere |p| = bound; march
+    # strictly within the [enter, exit] segment and call everything else +.
+    b = jnp.sum(rays_o * rays_d, axis=-1)
+    c = jnp.sum(rays_o ** 2, axis=-1) - bound * bound
+    disc = b * b - c
+    sphere_hit = disc > 0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_enter = jnp.maximum(-b - sq, t0)
+    t_exit = jnp.maximum(-b + sq, t_enter + 1e-3)
+    valid = sphere_hit & (t_exit > t_enter)
+
+    ts = t_enter[:, None] + (t_exit - t_enter)[:, None] \
+        * jnp.linspace(0.0, 1.0, n_coarse)[None, :]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
+    vals = field_eval(pts.reshape(-1, 3)).reshape(r, n_coarse)
+
+    pos = vals > 0
+    change = pos[:, :-1] & ~pos[:, 1:]            # + -> - between i and i+1
+    start_inside = ~pos[:, 0] & (t_enter <= t0 + 1e-6)  # only if we start at the ray origin
+    any_change = jnp.any(change, axis=-1)
+    first = jnp.argmax(change, axis=-1)
+    hit = (any_change | start_inside) & valid
+
+    t_lo = jnp.where(start_inside, t_enter,
+                     jnp.take_along_axis(ts, first[:, None], 1)[:, 0])
+    t_hi = jnp.where(start_inside, t_enter,
+                     jnp.take_along_axis(ts, (first + 1)[:, None], 1)[:, 0])
+
+    def bisect(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        v = field_eval(rays_o + rays_d * mid[:, None])
+        lo = jnp.where(v > 0, mid, lo)
+        hi = jnp.where(v > 0, hi, mid)
+        return lo, hi
+
+    t_lo, t_hi = jax.lax.fori_loop(0, n_refine, bisect, (t_lo, t_hi))
+    t_hit = jnp.where(hit, 0.5 * (t_lo + t_hi), far)
+
+    hit_pts = rays_o + rays_d * t_hit[:, None]
+    grad = jax.grad(lambda p: jnp.sum(field_apply(params, p)))(hit_pts)
+    gn = jnp.linalg.norm(grad, axis=-1, keepdims=True)
+    normal = jnp.where(hit[:, None], -grad / jnp.maximum(gn, 1e-9), 0.0)
+    return t_hit, normal, hit
+
+
+class NeuralTracer:
+    """RayTracer-compatible tracer: distilled SDF field + matmul marching.
+
+    trace(rays_o, rays_d) -> (inters, normals (inward), depth [R,1], hit);
+    miss => depth == far. Exact host BVH retained for precompute passes."""
+
+    def __init__(self, vertices: np.ndarray, triangles: np.ndarray,
+                 far: float = 10.0, width: int = 128, depth: int = 4,
+                 pe: int = 6, distill_steps: int = 3000, n_coarse: int = 48,
+                 n_refine: int = 8, seed: int = 0, verbose: bool = True,
+                 use_fused: bool | None = None):
+        self.far = far
+        self.n_coarse = n_coarse
+        self.n_refine = n_refine
+        self._bvh_tracer = RayTracer(vertices, triangles, far=far)
+        self.bound = float(np.linalg.norm(vertices, axis=-1).max() * 1.05 + 0.02)
+        self.field_params, self.distill_rms = distill_field(
+            vertices, triangles, self._bvh_tracer._bvh_np,
+            width=width, depth=depth, pe=pe, steps=distill_steps, seed=seed,
+            bound=self.bound)
+        if use_fused is None:
+            use_fused = (jax.default_backend() == "tpu" and width == 128
+                         and depth == 4)
+        self.use_fused = use_fused
+        if use_fused:
+            from nero_tpu.ops.pallas.field_kernel import pack_field_params
+            self.packed = pack_field_params(self.field_params, pe)
+        else:
+            self.packed = self.field_params  # placeholder pytree
+        if verbose:
+            print(f"[NeuralTracer] distilled {width}x{depth} field; "
+                  f"near-band RMS {self.distill_rms:.4f}; fused={use_fused}")
+
+    def trace_fn(self):
+        params, packed, bound, far = (self.field_params, self.packed,
+                                      self.bound, self.far)
+        n_coarse, n_refine, use_fused = self.n_coarse, self.n_refine, self.use_fused
+
+        def fn(rays_o, rays_d):
+            t, normal, hit = neural_trace(params, packed, rays_o, rays_d,
+                                          bound, far, n_coarse, n_refine,
+                                          use_fused=use_fused)
+            inters = rays_o + rays_d * t[:, None]
+            return inters, normal, t[:, None], hit
+        return fn
+
+    def trace(self, rays_o, rays_d):
+        return self.trace_fn()(rays_o, rays_d)
+
+    def trace_cpu(self, rays_o, rays_d):
+        return self._bvh_tracer.trace_cpu(rays_o, rays_d)

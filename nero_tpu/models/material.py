@@ -50,6 +50,11 @@ DEFAULT_MATERIAL_CFG = {
     "fixed_camera": False,
     "random_seed": 6033,
     "loss": ["nerf_render", "mat_reg"],
+    # visibility backend: 'neural' (distilled SDF field, MXU marching — the
+    # TPU-fast default), 'grid' (baked SDF grid sphere trace), 'bvh' (exact
+    # XLA wavefront; slow on TPU, useful for small meshes/debug)
+    "tracer": "neural",
+    "tracer_distill_steps": 3000,
 }
 
 
@@ -73,7 +78,20 @@ class NeROMaterialModel:
             else self.cfg["mesh"]
         self.vertices = np.asarray(mesh_data["vertices"], np.float32)
         self.triangles = np.asarray(mesh_data["triangles"], np.int32)
-        self.ray_tracer = RayTracer(self.vertices, self.triangles)
+        backend = self.cfg["tracer"]
+        if backend == "neural":
+            from nero_tpu.geometry.neural_tracer import NeuralTracer
+            self.ray_tracer = NeuralTracer(
+                self.vertices, self.triangles,
+                distill_steps=self.cfg["tracer_distill_steps"],
+                seed=self.cfg["random_seed"])
+        elif backend == "grid":
+            from nero_tpu.geometry.grid_tracer import GridTracer
+            self.ray_tracer = GridTracer(self.vertices, self.triangles)
+        elif backend == "bvh":
+            self.ray_tracer = RayTracer(self.vertices, self.triangles)
+        else:
+            raise NotImplementedError(f"tracer backend {backend}")
         self.trace_fn = self.ray_tracer.trace_fn()
 
     # ---------------------------------------------------------------- dataset

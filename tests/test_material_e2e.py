@@ -22,6 +22,7 @@ MAT_CFG = {
     },
     "loss": ["nerf_render", "mat_reg"],
     "key_metric_name": "psnr",
+    "tracer": "bvh",  # exact tracer for CPU tests (neural is the TPU default)
 }
 
 
