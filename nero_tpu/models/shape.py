@@ -212,6 +212,17 @@ class NeROShapeModel:
                 outputs[k] = v.reshape(h, w, -1)
         outputs["gt_depth"] = gt_depth[..., None]
         outputs["gt_mask"] = gt_mask[..., None].astype(np.int32)
+
+        if self.cfg["val_geometry"] and index == 0:
+            # low-res geometry snapshot during validation (reference renderer.py:619-624)
+            from nero_tpu.fields.sdf import sdf_value
+            from nero_tpu.geometry.isosurface import extract_geometry
+            scfg = self.scfg
+            vertices, triangles = extract_geometry(
+                [-1, -1, -1], [1, 1, 1], 128, 0.0,
+                lambda p: sdf_value(params["sdf"], p, scfg.sdf_cfg))
+            outputs["vertices"] = vertices
+            outputs["triangles"] = triangles
         return outputs
 
     def nvs(self, params, pose: np.ndarray, K: np.ndarray, h: int, w: int,

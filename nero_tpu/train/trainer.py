@@ -126,17 +126,25 @@ class Trainer:
                 logger.log(host_log, "train", step + 1, verbose=False)
 
             if (step + 1) % self.cfg["val_interval"] == 0 or (step + 1) == total:
-                val_results, val_para = self.val_evaluator(
-                    self.model, params, self.val_losses, self.val_metrics,
-                    list(range(len(self.model.test_ids))), step,
-                    self.model_name, val_set_name="val", chunk_fn=chunk_fn)
+                # iterate the configured validation sets; the FINAL set selects
+                # the best model (reference trainer.py:147-160)
+                val_names = [vs.get("name", "val")
+                             for vs in self.cfg.get("val_set_list", [{"name": "val"}])]
+                all_results, val_para = {}, 0.0
+                for vn in val_names:
+                    val_results, val_para = self.val_evaluator(
+                        self.model, params, self.val_losses, self.val_metrics,
+                        list(range(len(self.model.test_ids))), step,
+                        self.model_name, val_set_name=vn, chunk_fn=chunk_fn)
+                    for k, v in val_results.items():
+                        all_results[f"{vn}-{k}"] = v
                 if val_para > best_para:
                     print(f"New best model {self.cfg['key_metric_name']}: "
                           f"{val_para:.5f} previous {best_para:.5f}")
                     best_para = val_para
                     save_checkpoint(self.best_ckpt_fn, step + 1, best_para,
                                     params, opt_state)
-                logger.log({k: float(np.mean(v)) for k, v in val_results.items()},
+                logger.log({k: float(np.mean(v)) for k, v in all_results.items()},
                            "val", step + 1)
 
             if (step + 1) % self.cfg["save_interval"] == 0:
