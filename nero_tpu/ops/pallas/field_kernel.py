@@ -96,6 +96,9 @@ def _field_fwd_t(pts_t, packed, pe: int = 6, interpret: bool = False):
 def field_fwd_fused(packed, pts: jnp.ndarray, pe: int = 6,
                     interpret: bool = False) -> jnp.ndarray:
     """Fused field eval: [..., 3] -> [...] (no grad; used by the tracer)."""
+    # no-grad kernel: sever tangents before the pallas_call (no JVP rule)
+    packed = jax.tree_util.tree_map(jax.lax.stop_gradient, packed)
+    pts = jax.lax.stop_gradient(pts)
     shape = pts.shape[:-1]
     flat = pts.reshape(-1, 3)
     n = flat.shape[0]
@@ -103,4 +106,4 @@ def field_fwd_fused(packed, pts: jnp.ndarray, pe: int = 6,
     flat = jnp.pad(flat, ((0, n_pad), (0, 0)))
     pts_t = jnp.pad(flat.T, ((0, 5), (0, 0)))  # [8, N]
     vals = _field_fwd_t(pts_t, packed, pe, interpret)
-    return jax.lax.stop_gradient(vals[:n].reshape(shape))
+    return vals[:n].reshape(shape)

@@ -137,6 +137,10 @@ def sdf_fwd_fused(packed, pts: jnp.ndarray, cfg: SDFConfig,
                   interpret: bool = False) -> jnp.ndarray:
     """Fused no-grad SDF forward: [..., 3] -> [..., 1]. TPU fast path
     (interpret=True runs the same kernel in the Pallas interpreter for tests)."""
+    # no-grad kernel: sever tangents BEFORE the pallas_call so autodiff never
+    # asks it for a JVP (callers use it only on stop-gradient paths)
+    packed = jax.tree_util.tree_map(jax.lax.stop_gradient, packed)
+    pts = jax.lax.stop_gradient(pts)
     shape = pts.shape[:-1]
     flat = pts.reshape(-1, 3) * cfg.scale
     n = flat.shape[0]
@@ -144,7 +148,7 @@ def sdf_fwd_fused(packed, pts: jnp.ndarray, cfg: SDFConfig,
     flat = jnp.pad(flat, ((0, n_pad), (0, 0)))
     pts128 = jnp.pad(flat, ((0, 0), (0, 128 - 3)))
     sdf = _sdf_fwd_padded(pts128, packed, cfg.multires, interpret)
-    return jax.lax.stop_gradient(sdf[:n].reshape(*shape, 1))
+    return sdf[:n].reshape(*shape, 1)
 
 
 def pallas_available() -> bool:

@@ -66,6 +66,9 @@ class ShapeConfig(NamedTuple):
     # shader
     shader: AppShadingConfig = AppShadingConfig()
     fixed_camera: bool = False
+    # fused Pallas SDF forward for no-grad paths (proposal sampler, occlusion
+    # march) — TPU only, default topology only; ~2x XLA at occ-march batch sizes
+    use_fused_sdf: bool = False
 
     @property
     def n_inner(self) -> int:
@@ -85,7 +88,33 @@ class ShapeConfig(NamedTuple):
 def shape_config_from_dict(cfg: dict) -> ShapeConfig:
     fields = {k: v for k, v in cfg.items() if k in ShapeConfig._fields}
     fields["shader"] = shading_config_from_dict(cfg.get("shader_config", {}))
-    return ShapeConfig(**fields)
+    scfg = ShapeConfig(**fields)
+    # NOTE: fused-SDF stays opt-in — measured 2x faster in isolation at
+    # occ-march batch sizes, but a net ~10% step regression when embedded
+    # (the pallas_call boundary blocks XLA fusion with surrounding ops).
+    if cfg.get("use_fused_sdf") and not _fused_sdf_supported(scfg):
+        scfg = scfg._replace(use_fused_sdf=False)
+    return scfg
+
+
+def _fused_sdf_supported(scfg: "ShapeConfig") -> bool:
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    c = scfg.sdf_cfg
+    return (c.n_layers == 8 and c.d_hidden == 256 and c.multires > 0
+            and c.skip == 4 and c.weight_norm)
+
+
+def make_nograd_sdf_fn(params, scfg: "ShapeConfig"):
+    """SDF value function for no-grad paths; fused Pallas kernel when enabled."""
+    if scfg.use_fused_sdf:
+        from nero_tpu.ops.pallas.sdf_kernel import pack_sdf_params, sdf_fwd_fused
+        packed = pack_sdf_params(params["sdf"], scfg.sdf_cfg)
+        return lambda x: sdf_fwd_fused(packed, x, scfg.sdf_cfg)
+    return lambda x: sdf_value(params["sdf"], x, scfg.sdf_cfg)
 
 
 def init_shape_params(key, scfg: ShapeConfig):
@@ -155,8 +184,8 @@ def sample_z_vals(params, scfg: ShapeConfig, rays_o, rays_d, near, far, key=None
     # Upsample rounds (no gradient flows back through the proposal machinery).
     n_new = scfg.n_importance // scfg.up_sample_steps
     base_inv_s = variance_inv_s(params["variance"], scfg.std_act)
-    sdf = sdf_value(params["sdf"], rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None],
-                    scfg.sdf_cfg)[..., 0]
+    sdf_fn = make_nograd_sdf_fn(params, scfg)
+    sdf = sdf_fn(rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None])[..., 0]
     for i in range(scfg.up_sample_steps):
         if scfg.clip_sample_variance:
             inv_s_i = jnp.minimum(base_inv_s, 64.0 * 2 ** i)
@@ -168,7 +197,7 @@ def sample_z_vals(params, scfg: ShapeConfig, rays_o, rays_d, near, far, key=None
         z_vals = jnp.take_along_axis(z_vals, order, axis=-1)
         if i + 1 < scfg.up_sample_steps:
             new_pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z[..., None]
-            new_sdf = sdf_value(params["sdf"], new_pts, scfg.sdf_cfg)[..., 0]
+            new_sdf = sdf_fn(new_pts)[..., 0]
             sdf = jnp.take_along_axis(jnp.concatenate([sdf, new_sdf], axis=-1), order, axis=-1)
 
     return jax.lax.stop_gradient(z_vals), jax.lax.stop_gradient(z_vals_outside)
@@ -239,7 +268,7 @@ def compute_occ_loss(params, scfg: ShapeConfig, key, points, reflective, occ_pro
     occ_k = occ[top_idx]
 
     inv_s = variance_inv_s(params["variance"], scfg.std_act)
-    sdf_fun = lambda x: sdf_value(params["sdf"], x, scfg.sdf_cfg)
+    sdf_fun = make_nograd_sdf_fn(params, scfg)
     _, inter_prob, _ = get_intersection(sdf_fun, inv_s, pts_k, refl_k, sn0=64, sn1=16)
     occ_gt = jnp.sum(inter_prob, axis=-1)
     l1 = jnp.abs(occ_k - occ_gt)
@@ -327,7 +356,7 @@ def compute_validation_info(params, scfg: ShapeConfig, fg_lut, z_vals, rays_o, r
                                            points, grads, view, feats, human_poses,
                                            inter_results=True)
     inv_s = variance_inv_s(params["variance"], scfg.std_act)
-    sdf_fun = lambda x: sdf_value(params["sdf"], x, scfg.sdf_cfg)
+    sdf_fun = make_nograd_sdf_fn(params, scfg)
     _, occ_prob, _ = get_intersection(sdf_fun, inv_s, points, occ_info["reflective"],
                                       sn0=128, sn1=9)
     outputs = {"depth": depth, "normal": normal,
