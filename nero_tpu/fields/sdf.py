@@ -14,7 +14,6 @@ same second-order "double backprop" semantics as torch create_graph=True
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple
 
 import jax

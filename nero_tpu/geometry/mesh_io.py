@@ -8,8 +8,6 @@ object point clouds used for GlossyReal normalisation (database.py:144-148).
 """
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 _PLY_DTYPES = {

@@ -18,7 +18,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 BLOCK_N = 2048
 FEAT_PAD = 48  # 3 + 36 PE rows, padded to a multiple of 8 sublanes

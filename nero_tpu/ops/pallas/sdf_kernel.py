@@ -27,7 +27,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from nero_tpu.fields.sdf import SDFConfig
 from nero_tpu.utils.encodings import positional_encode

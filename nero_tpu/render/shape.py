@@ -29,7 +29,7 @@ from nero_tpu.fields.app_shading import (AppShadingConfig, app_shading_apply,
                                          shading_config_from_dict)
 from nero_tpu.fields.bg_nerf import BgNeRFConfig, bg_nerf_apply, init_bg_nerf
 from nero_tpu.fields.intersection import get_intersection
-from nero_tpu.fields.sdf import SDFConfig, init_sdf, sdf_apply, sdf_value, sdf_with_grad
+from nero_tpu.fields.sdf import SDFConfig, init_sdf, sdf_value, sdf_with_grad
 from nero_tpu.fields.variance import init_variance, inv_s as variance_inv_s
 from nero_tpu.fields.app_shading import init_app_shading
 from nero_tpu.ops.sample_pdf import sample_pdf

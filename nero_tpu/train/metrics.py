@@ -7,7 +7,6 @@ grids written to data/train_vis/<model>/<step>-index-<i>.jpg. Runs on host
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np
