@@ -138,7 +138,15 @@ class NeROMaterialModel:
             out["depth"].append(depth[hit, None])
             out["human_poses"].append(np.broadcast_to(human[i], (h * w, 3, 4))[hit])
             out["rgb"].append(rgb[hit])
-        return {k: np.concatenate(v, 0) for k, v in out.items()}
+        batch = {k: np.concatenate(v, 0) for k, v in out.items()}
+        n_hits = len(batch["rays_o"])
+        rn = self.cfg["train_ray_num"]
+        if 0 < n_hits < rn:
+            # tiny scenes: tile the hit buffer up to one full batch so step
+            # shapes stay static
+            reps = -(-rn // n_hits)
+            batch = {k: np.concatenate([v] * reps, 0)[:rn] for k, v in batch.items()}
+        return batch
 
     def _shuffle(self, rng):
         idx = rng.permutation(self.tbn)
@@ -229,6 +237,11 @@ class NeROMaterialModel:
         outputs = {k: np.zeros((h * w, d), np.float32) for k, d in keys.items()}
 
         hit_idx = np.nonzero(hit)[0]
+        if len(hit_idx) == 0:  # view misses the object entirely
+            outputs["rgb_gt"] = np.zeros((h * w, 3), np.float32)
+            outputs["loss_rgb"] = np.zeros((h * w,), np.float32)
+            return {k: (v.reshape(h, w, -1) if v.ndim == 2 and v.shape[0] == h * w else v)
+                    for k, v in outputs.items()}
         trn = self.cfg["test_ray_num"]
         for ci in range(0, len(hit_idx), trn):
             sel = hit_idx[ci:ci + trn]
