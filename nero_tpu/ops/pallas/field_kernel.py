@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-BLOCK_N = 2048
+BLOCK_N = 4096  # measured best on v5e (19.1 TF/s vs 18.8 @2048)
 FEAT_PAD = 48  # 3 + 36 PE rows, padded to a multiple of 8 sublanes
 
 
