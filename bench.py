@@ -1,19 +1,28 @@
-"""Benchmark: Stage-I training throughput (rays/sec/chip) on real hardware.
+"""Benchmark: Stage-I training throughput (rays/sec/chip) + MFU on real hardware.
 
 Runs the flagship shape-model training step (512 rays x (64+64 inner + 32 bg
 samples), full losses incl. the post-20k occlusion march — the steady-state
 workload of reference configs/shape/syn/bell.yaml) on a procedural scene and
-reports sustained rays/sec.
+reports sustained rays/sec, step time, FLOPs/step (XLA compiled cost
+analysis), and MFU against the chip's published bf16 peak.
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md). NeRO
-Stage I is commonly reported at ~0.25s/step on an A100 for the same 512-ray
-step (~2.0k rays/s); BASELINE.json's target is >=5x A100 rays/sec/chip, i.e.
-vs_baseline is reported against 2048 rays/s so vs_baseline >= 5 is the goal.
+Baseline denominator (vs_baseline): the reference publishes NO throughput
+numbers anywhere in its tree (BASELINE.md) and no A100 measurement exists in
+this sandbox, so the denominator is a DERIVED ESTIMATE, stated openly:
+  reference step = 512 rays x (64 uniform + 4x16 importance) inner samples
+  with an 8x256 SDF MLP double-backprop + NeRF++ background + shading MLPs
+  (reference network/renderer.py:84-92, configs/shape/syn/bell.yaml:30-34);
+  NeuS-class renderers of this shape are commonly reported around ~4 steps/s
+  on an A100 — 0.25 s/step x 512 rays => 2048 rays/s.
+A measured same-host cross-check (reference torch code vs this repo, both on
+this container's CPU) is reported in BASELINE.md when available; the estimate
+is kept as the stable denominator so vs_baseline stays comparable across
+rounds. See VERDICT.md round-1 item 8 discussion.
 """
 import json
 import time
 
-A100_BASELINE_RAYS_PER_SEC = 2048.0
+A100_BASELINE_RAYS_PER_SEC = 2048.0  # estimate: 512 rays / 0.25 s-per-step (see module docstring)
 
 
 def main():
@@ -21,6 +30,7 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from nero_tpu.core.mfu import compiled_flops, mfu, peak_flops_per_sec
     from nero_tpu.models.shape import NeROShapeModel
 
     cfg = {
@@ -43,6 +53,8 @@ def main():
     # steady-state step index: occ loss branch active (dominant late-training cost)
     step_idx = jnp.asarray(25000)
 
+    flops_per_step = compiled_flops(step_fn, params, opt_state, key, step_idx, data)
+
     # warmup: long enough to flush compiles AND the runtime's deferred work
     # (the axon tunnel defers real execution past block_until_ready; a host
     # readback is the only true sync)
@@ -60,12 +72,18 @@ def main():
     float(log["loss_total"])  # chain sync: every step feeds the next
     dt = time.perf_counter() - t0
 
-    rays_per_sec = n_steps * cfg["train_ray_num"] / dt
+    step_s = dt / n_steps
+    rays_per_sec = cfg["train_ray_num"] / step_s
     print(json.dumps({
         "metric": "stage1_train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
+        "step_ms": round(step_s * 1e3, 2),
+        "flops_per_step": flops_per_step,
+        "mfu": round(mfu(flops_per_step, step_s), 4),
+        "peak_flops_per_sec": peak_flops_per_sec(),
+        "device_kind": jax.devices()[0].device_kind,
     }))
 
 

@@ -57,3 +57,10 @@ class RaysPerSecMeter:
         dt = self._events[-1][0] - self._events[0][0]
         total = sum(r for _, r in self._events[1:])
         return total / max(dt, 1e-9)
+
+    @property
+    def step_seconds(self) -> float:
+        if len(self._events) < 2:
+            return 0.0
+        dt = self._events[-1][0] - self._events[0][0]
+        return dt / (len(self._events) - 1)

@@ -102,6 +102,12 @@ class Trainer:
         rays_per_step = self.model.num_train_rays_per_step()
         base_key = jax.random.PRNGKey(self.cfg["random_seed"])
 
+        # FLOPs/step from XLA's compiled cost analysis -> per-step MFU logging
+        from nero_tpu.core.mfu import compiled_flops, mfu
+        flops_per_step = compiled_flops(
+            train_step, params, opt_state, base_key, jnp.asarray(start_step),
+            self.model.get_step_input(start_step))
+
         total = self.cfg["total_step"]
         prof_dir = self.cfg["profile_dir"]
         prof_window = (range(self.cfg["profile_start"],
@@ -123,6 +129,7 @@ class Trainer:
                 host_log = {k: float(v) for k, v in log.items()}
                 host_log["lr"] = float(self._lr_schedule(step))
                 host_log["rays_per_sec"] = meter.rays_per_sec
+                host_log["mfu"] = mfu(flops_per_step, meter.step_seconds)
                 logger.log(host_log, "train", step + 1, verbose=False)
 
             if (step + 1) % self.cfg["val_interval"] == 0 or (step + 1) == total:
