@@ -337,14 +337,19 @@ class ProceduralDatabase(BaseDatabase):
         else:
             res, views = spec, "16"
         self.res, self.n_views = int(res), int(views)
-        self.Ks, self.poses = make_cameras(self.n_views, self.res, self.res)
+        # concave scenes need high views to observe the interior
+        el_range = (0.35, 1.25) if self.kind == "bowl" else (0.25, 0.75)
+        dist = 2.2 if self.kind == "bowl" else 3.0
+        self.Ks, self.poses = make_cameras(self.n_views, self.res, self.res,
+                                           dist=dist, el_range=el_range)
         self.img_ids = [str(i) for i in range(self.n_views)]
         self._cache = {}
 
     def _render(self, img_id):
         i = int(img_id)
         if i not in self._cache:
-            self._cache[i] = render_view(self.poses[i], self.Ks[i], self.res, self.res)
+            self._cache[i] = render_view(self.poses[i], self.Ks[i], self.res,
+                                         self.res, kind=self.kind)
         return self._cache[i]
 
     def get_image(self, img_id):

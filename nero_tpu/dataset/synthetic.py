@@ -32,11 +32,122 @@ def _sphere_hit(o: np.ndarray, d: np.ndarray, radius: float):
     return t, hit
 
 
-def render_view(pose: np.ndarray, K: np.ndarray, h: int, w: int, radius: float = 0.5):
-    """Analytic render: lambertian+specular sphere on an env background.
+# ---------------------------------------------------------------------------
+# Concave SDF scene ("bowl"): an upward-opening hollow hemisphere shell with a
+# small sphere resting inside. Two disjoint components, strong concavity,
+# rim->interior self-shadowing and sphere<->bowl interreflection — the failure
+# modes the reference exists for (cf. reference network/field.py:856-880
+# indirect-light path) that a convex sphere can never exercise.
+# ---------------------------------------------------------------------------
 
-    Returns (rgb uint8 [h,w,3], depth float32 [h,w], mask bool [h,w]).
-    """
+BOWL_SHELL_R = 0.42
+BOWL_SHELL_TH = 0.03
+BOWL_RIM_Z = 0.15
+BOWL_BALL_C = np.asarray([0.0, 0.0, -0.23])
+BOWL_BALL_R = 0.16
+
+
+def _sdf_bowl(p: np.ndarray) -> np.ndarray:
+    """Exact-enough SDF of the bowl+ball scene; p [...,3] -> [...]."""
+    r = np.linalg.norm(p, axis=-1)
+    shell = np.abs(r - BOWL_SHELL_R) - BOWL_SHELL_TH
+    bowl = np.maximum(shell, p[..., 2] - BOWL_RIM_Z)
+    ball = np.linalg.norm(p - BOWL_BALL_C, axis=-1) - BOWL_BALL_R
+    return np.minimum(bowl, ball)
+
+
+def scene_sdf(kind: str):
+    """Analytic SDF of a procedural scene kind (for gt meshes / tracer tests)."""
+    if kind == "sphere":
+        return lambda p: np.linalg.norm(p, axis=-1) - 0.5
+    if kind == "bowl":
+        return _sdf_bowl
+    raise NotImplementedError(f"unknown procedural kind {kind}")
+
+
+def _sdf_normal(sdf, p: np.ndarray, eps: float = 1e-4) -> np.ndarray:
+    n = np.stack([
+        sdf(p + np.asarray([eps, 0, 0])) - sdf(p - np.asarray([eps, 0, 0])),
+        sdf(p + np.asarray([0, eps, 0])) - sdf(p - np.asarray([0, eps, 0])),
+        sdf(p + np.asarray([0, 0, eps])) - sdf(p - np.asarray([0, 0, eps])),
+    ], -1)
+    return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def _sphere_trace(sdf, o, d, t_min, t_max, iters: int = 160, tol: float = 2e-4):
+    """Vectorized sphere tracing; returns (t, hit_mask)."""
+    t = np.full(o.shape[:-1], t_min, np.float64) if np.isscalar(t_min) \
+        else t_min.astype(np.float64).copy()
+    hit = np.zeros(o.shape[:-1], bool)
+    active = np.ones(o.shape[:-1], bool)
+    for _ in range(iters):
+        if not active.any():
+            break
+        p = o[active] + d[active] * t[active][:, None]
+        dist = sdf(p)
+        converged = dist < tol
+        idx = np.where(active)[0]
+        hit[idx[converged]] = True
+        t[active] = t[active] + np.maximum(dist, 0.0) * 0.95
+        still = ~converged & (t[active] < (t_max if np.isscalar(t_max) else t_max[active]))
+        new_active = np.zeros_like(active)
+        new_active[idx[still]] = True
+        active = new_active
+    return t, hit
+
+
+def _shadow_factor(sdf, p, n, light_dir, t_max: float = 2.0):
+    """Hard visibility toward a directional light (self-shadowing)."""
+    o = p + n * 2e-3
+    d = np.broadcast_to(light_dir, o.shape)
+    _, occluded = _sphere_trace(sdf, o, d, 5e-3, t_max, iters=96)
+    return (~occluded).astype(np.float64)
+
+
+def _bowl_albedo(p: np.ndarray) -> np.ndarray:
+    """Component-coloured patterned albedo (texture signal for the SDF fit)."""
+    in_ball = np.linalg.norm(p - BOWL_BALL_C, axis=-1) - BOWL_BALL_R < \
+        np.abs(np.linalg.norm(p, axis=-1) - BOWL_SHELL_R) - BOWL_SHELL_TH
+    bowl_col = 0.40 + 0.25 * np.stack([
+        np.sin(9 * p[:, 0]) * np.sin(7 * p[:, 1]),
+        np.cos(8 * p[:, 2] + 0.5),
+        np.sin(6 * p[:, 1] - 1.0),
+    ], -1)
+    ball_col = np.stack([
+        0.25 + 0.1 * np.sin(12 * p[:, 2]),
+        0.3 + 0.1 * np.cos(10 * p[:, 0]),
+        0.65 + 0.2 * np.sin(11 * p[:, 1]),
+    ], -1)
+    return np.where(in_ball[:, None], ball_col, bowl_col)
+
+
+_LIGHT_DIR = np.asarray([0.35, 0.25, 0.9]) / np.linalg.norm([0.35, 0.25, 0.9])
+
+
+def _shade_bowl(p, n, d, depth_left: int = 1):
+    """Direct light with shadow rays + fresnel reflection (one bounce)."""
+    sdf = _sdf_bowl
+    albedo = _bowl_albedo(p)
+    shadow = _shadow_factor(sdf, p, n, _LIGHT_DIR)
+    lambert = np.clip(np.sum(n * _LIGHT_DIR, -1), 0, 1) * shadow
+    color = albedo * (0.18 + 0.82 * lambert[:, None])
+    nov = np.clip(-np.sum(d * n, -1, keepdims=True), 0, 1)
+    fresnel = 0.06 + 0.94 * (1 - nov) ** 5
+    refl = d - 2 * np.sum(d * n, -1, keepdims=True) * n
+    if depth_left > 0:
+        o2 = p + n * 2e-3
+        t2, hit2 = _sphere_trace(sdf, o2, refl, 5e-3, 2.5)
+        refl_col = _env_color(refl)
+        if hit2.any():
+            p2 = o2[hit2] + refl[hit2] * t2[hit2][:, None]
+            n2 = _sdf_normal(sdf, p2)
+            refl_col[hit2] = _shade_bowl(p2, n2, refl[hit2], depth_left - 1)
+    else:
+        refl_col = _env_color(refl)
+    return color + 0.5 * fresnel * refl_col
+
+
+def _camera_rays(pose, K, h, w):
     xs, ys = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
     pix = np.stack([xs, ys, np.ones_like(xs)], -1).reshape(-1, 3)
     K_inv = np.linalg.inv(K)
@@ -47,6 +158,36 @@ def render_view(pose: np.ndarray, K: np.ndarray, h: int, w: int, radius: float =
     d = d_cam @ R  # R^T d
     d = d / np.linalg.norm(d, axis=-1, keepdims=True)
     o = np.broadcast_to(-R.T @ t, d.shape)
+    return o, d, d_cam_norm
+
+
+def render_view_bowl(pose: np.ndarray, K: np.ndarray, h: int, w: int):
+    """SDF-traced render of the concave scene with shadows + interreflection."""
+    o, d, d_cam_norm = _camera_rays(pose, K, h, w)
+    cam_dist = np.linalg.norm(o[0])
+    t_hit, hit = _sphere_trace(_sdf_bowl, o, d, cam_dist - 1.0, cam_dist + 1.0)
+
+    rgb = _env_color(d)
+    if hit.any():
+        p = o[hit] + d[hit] * t_hit[hit][:, None]
+        n = _sdf_normal(_sdf_bowl, p)
+        rgb[hit] = _shade_bowl(p, n, d[hit])
+    rgb = np.clip(rgb, 0, 1) ** (1 / 2.2)
+
+    depth = np.where(hit, t_hit / d_cam_norm, 15.0).astype(np.float32)
+    img = (np.clip(rgb, 0, 1) * 255 + 0.5).astype(np.uint8)
+    return img.reshape(h, w, 3), depth.reshape(h, w), hit.reshape(h, w)
+
+
+def render_view(pose: np.ndarray, K: np.ndarray, h: int, w: int,
+                radius: float = 0.5, kind: str = "sphere"):
+    """Analytic render: lambertian+specular object on an env background.
+
+    Returns (rgb uint8 [h,w,3], depth float32 [h,w], mask bool [h,w]).
+    """
+    if kind == "bowl":
+        return render_view_bowl(pose, K, h, w)
+    o, d, d_cam_norm = _camera_rays(pose, K, h, w)
 
     t_hit, hit = _sphere_hit(o, d, radius)
     p = o + d * t_hit[:, None]
@@ -79,7 +220,8 @@ def render_view(pose: np.ndarray, K: np.ndarray, h: int, w: int, radius: float =
     return img.reshape(h, w, 3), depth.reshape(h, w), hit.reshape(h, w)
 
 
-def make_cameras(n_views: int, h: int, w: int, dist: float = 3.0, seed: int = 0):
+def make_cameras(n_views: int, h: int, w: int, dist: float = 3.0, seed: int = 0,
+                 el_range: tuple = (0.25, 0.75)):
     """Ring + elevation jitter cameras looking at the origin."""
     rng = np.random.RandomState(seed)
     Ks, poses = [], []
@@ -87,7 +229,7 @@ def make_cameras(n_views: int, h: int, w: int, dist: float = 3.0, seed: int = 0)
     K = np.asarray([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
     for i in range(n_views):
         az = 2 * np.pi * i / n_views
-        el = 0.25 + 0.5 * rng.rand()
+        el = el_range[0] + (el_range[1] - el_range[0]) * rng.rand()
         eye = dist * np.asarray([np.cos(az) * np.cos(el),
                                  np.sin(az) * np.cos(el),
                                  np.sin(el)])

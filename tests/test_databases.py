@@ -28,6 +28,28 @@ def test_procedural_database():
     np.testing.assert_allclose(np.linalg.norm(cen), 3.0, atol=1e-5)
 
 
+def test_procedural_bowl_database():
+    """Concave scene: depth-consistent geometry, both components visible."""
+    from nero_tpu.dataset.synthetic import scene_sdf
+    db = parse_database_name("proc/bowl/48_4")
+    sdf = scene_sdf("bowl")
+    ids = db.get_img_ids()
+    img = db.get_image(ids[1])
+    assert img.shape == (48, 48, 3)
+    depth, mask = db.get_depth(ids[1])
+    assert 0.05 < mask.mean() < 0.6
+    # backproject masked depth: points must lie on the zero level set
+    K, pose = db.get_K(ids[1]), db.get_pose(ids[1])
+    ys, xs = np.where(mask)
+    pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)], -1).astype(np.float64)
+    pts_cam = (pix @ np.linalg.inv(K).T) * depth[mask][:, None]
+    pts = (pts_cam - pose[:, 3]) @ pose[:, :3]
+    d = np.abs(sdf(pts))
+    assert np.median(d) < 2e-3 and d.max() < 0.05
+    # concavity: some surface points have |p| well below the shell radius
+    assert (np.linalg.norm(pts, axis=-1) < 0.3).any()
+
+
 def test_split_seed_stability():
     db = parse_database_name("proc/sphere/32_6")
     train1, test1 = get_database_split(db)
