@@ -129,14 +129,9 @@ def neural_trace(params, packed, rays_o, rays_d, bound: float, far=10.0,
     """March the field, find the first +->- sign change, bisect, grad normal.
 
     Returns (t [R], normal [R,3] inward (-grad), hit [R]). With use_fused the
-    marching evaluations run through the VMEM-resident Pallas kernel
-    (ops/pallas/field_kernel.py, ~5x the XLA path); the hit-point gradient
-    stays on the differentiable jnp field."""
-    if use_fused:
-        from nero_tpu.ops.pallas.field_kernel import field_fwd_fused
-        field_eval = lambda pts: field_fwd_fused(packed, pts)
-    else:
-        field_eval = lambda pts: field_apply(params, pts)
+    ENTIRE march — coarse scan + bisection — runs as ONE pallas_call
+    (ops/pallas/march_kernel.py); the hit-point gradient stays on the
+    differentiable jnp field."""
     r = rays_o.shape[0]
     # the field is only trained inside the bounding sphere |p| = bound; march
     # strictly within the [enter, exit] segment and call everything else +.
@@ -149,33 +144,41 @@ def neural_trace(params, packed, rays_o, rays_d, bound: float, far=10.0,
     t_exit = jnp.maximum(-b + sq, t_enter + 1e-3)
     valid = sphere_hit & (t_exit > t_enter)
 
-    ts = t_enter[:, None] + (t_exit - t_enter)[:, None] \
-        * jnp.linspace(0.0, 1.0, n_coarse)[None, :]
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
-    vals = field_eval(pts.reshape(-1, 3)).reshape(r, n_coarse)
+    if use_fused:
+        from nero_tpu.ops.pallas.march_kernel import march_fused
+        t_mid, found = march_fused(packed, rays_o, rays_d, t_enter, t_exit,
+                                   n_coarse=n_coarse, n_refine=n_refine, t0=t0)
+        hit = found & valid
+        t_hit = jnp.where(hit, t_mid, far)
+    else:
+        field_eval = lambda pts: field_apply(params, pts)
+        ts = t_enter[:, None] + (t_exit - t_enter)[:, None] \
+            * jnp.linspace(0.0, 1.0, n_coarse)[None, :]
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
+        vals = field_eval(pts.reshape(-1, 3)).reshape(r, n_coarse)
 
-    pos = vals > 0
-    change = pos[:, :-1] & ~pos[:, 1:]            # + -> - between i and i+1
-    start_inside = ~pos[:, 0] & (t_enter <= t0 + 1e-6)  # only if we start at the ray origin
-    any_change = jnp.any(change, axis=-1)
-    first = jnp.argmax(change, axis=-1)
-    hit = (any_change | start_inside) & valid
+        pos = vals > 0
+        change = pos[:, :-1] & ~pos[:, 1:]            # + -> - between i and i+1
+        start_inside = ~pos[:, 0] & (t_enter <= t0 + 1e-6)  # only if we start at the ray origin
+        any_change = jnp.any(change, axis=-1)
+        first = jnp.argmax(change, axis=-1)
+        hit = (any_change | start_inside) & valid
 
-    t_lo = jnp.where(start_inside, t_enter,
-                     jnp.take_along_axis(ts, first[:, None], 1)[:, 0])
-    t_hi = jnp.where(start_inside, t_enter,
-                     jnp.take_along_axis(ts, (first + 1)[:, None], 1)[:, 0])
+        t_lo = jnp.where(start_inside, t_enter,
+                         jnp.take_along_axis(ts, first[:, None], 1)[:, 0])
+        t_hi = jnp.where(start_inside, t_enter,
+                         jnp.take_along_axis(ts, (first + 1)[:, None], 1)[:, 0])
 
-    def bisect(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        v = field_eval(rays_o + rays_d * mid[:, None])
-        lo = jnp.where(v > 0, mid, lo)
-        hi = jnp.where(v > 0, hi, mid)
-        return lo, hi
+        def bisect(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            v = field_eval(rays_o + rays_d * mid[:, None])
+            lo = jnp.where(v > 0, mid, lo)
+            hi = jnp.where(v > 0, hi, mid)
+            return lo, hi
 
-    t_lo, t_hi = jax.lax.fori_loop(0, n_refine, bisect, (t_lo, t_hi))
-    t_hit = jnp.where(hit, 0.5 * (t_lo + t_hi), far)
+        t_lo, t_hi = jax.lax.fori_loop(0, n_refine, bisect, (t_lo, t_hi))
+        t_hit = jnp.where(hit, 0.5 * (t_lo + t_hi), far)
 
     hit_pts = rays_o + rays_d * t_hit[:, None]
     grad = jax.grad(lambda p: jnp.sum(field_apply(params, p)))(hit_pts)

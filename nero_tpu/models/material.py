@@ -101,6 +101,10 @@ class NeROMaterialModel:
         info = build_imgs_info(self.database, self.train_ids)
         self.train_batch = self._construct_hit_batch(info)
         self.tbn = len(self.train_batch["rays_o"])
+        # device-resident hit store: the step samples its batch in-jit, so no
+        # per-step host slicing / H2D transfer sits on the step's critical
+        # path (measured ~35 ms/step over the TPU tunnel)
+        self.train_data = {k: jnp.asarray(v) for k, v in self.train_batch.items()}
         self.test_imgs_info = build_imgs_info(self.database, self.test_ids)
         rng = np.random.RandomState(self.cfg["random_seed"])
         self._shuffle(rng)
@@ -168,8 +172,14 @@ class NeROMaterialModel:
         mcfg, samples, trace_fn, cfg = self.mcfg, self.samples, self.trace_fn, self.cfg
         mesh = self.mesh
         loss_names = loss_names if loss_names is not None else cfg["loss"]
+        rn = self.cfg["train_ray_num"]
 
-        def step_fn(params, opt_state, key, step, batch):
+        def step_fn(params, opt_state, key, step, train_data):
+            # in-jit batch sampling from the device-resident hit store
+            k_batch, key = jax.random.split(key)
+            n = train_data["rays_o"].shape[0]
+            idx = jax.random.randint(k_batch, (rn,), 0, n)
+            batch = {k: v[idx] for k, v in train_data.items()}
             batch = constrain_rays(batch, mesh)
 
             def loss_fn(p):
@@ -297,8 +307,9 @@ class NeROMaterialModel:
         return np.asarray(env_light_image(params, self.mcfg, h, w, gamma))
 
     def get_step_input(self, step: int):
-        """Per-step 5th argument of the train step (host-sliced hit batch)."""
-        return self.next_train_batch()
+        """Per-step 5th argument of the train step: the device-resident hit
+        store (constant across steps; the step samples its batch in-jit)."""
+        return self.train_data
 
     def num_train_rays_per_step(self) -> int:
         return self.cfg["train_ray_num"]

@@ -42,14 +42,12 @@ def pack_field_params(params, pe: int = 6):
 
 
 def _kernel(pts_ref, w0, b0, w1, b1, w2, b2, w3t, b3, out_ref, *, pe):
+    from nero_tpu.ops.pallas.march_kernel import _pe_rows
+
     x = pts_ref[...]  # [8, BN] rows 0..2 = xyz
-    xyz = x[0:3]
-    rows = [xyz]
-    for i in range(pe):
-        s = xyz * (2.0 ** i)
-        rows.append(jnp.sin(s))
-        rows.append(jnp.cos(s))
-    feats = jnp.concatenate(rows, axis=0)  # [39, BN]
+    # double-angle recurrence PE: 2 transcendentals/coord instead of 2*pe —
+    # the VPU sin/cos was the kernel bottleneck (28.9 -> 48.3 TF/s on v5e)
+    feats = _pe_rows(x[0:3], pe)  # [39, BN]
     feats = jnp.concatenate(
         [feats, jnp.zeros((FEAT_PAD - feats.shape[0], feats.shape[1]),
                           feats.dtype)], axis=0)

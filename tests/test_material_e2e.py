@@ -59,10 +59,9 @@ def test_train_step_improves(model):
     key = jax.random.PRNGKey(0)
     losses = []
     for i in range(25):
-        batch = model.next_train_batch()
         params, opt_state, log = step_fn(params, opt_state,
                                          jax.random.fold_in(key, i),
-                                         jnp.asarray(i), batch)
+                                         jnp.asarray(i), model.train_data)
         losses.append(float(log["loss_rgb"]))
     assert all(np.isfinite(losses))
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
@@ -74,7 +73,7 @@ def test_log_keys(model):
     step_fn = model.make_train_step(opt, donate=False)
     opt_state = opt.init(model.params)
     _, _, log = step_fn(model.params, opt_state, jax.random.PRNGKey(5),
-                        jnp.asarray(0), model.next_train_batch())
+                        jnp.asarray(0), model.train_data)
     for k in ["loss_rgb", "loss_mat_reg", "loss_diffuse_light", "loss_total"]:
         assert k in log and np.isfinite(float(log[k])), k
 

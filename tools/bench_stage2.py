@@ -46,7 +46,7 @@ def main():
     for i in range(8):
         params, opt_state, log = step_fn(params, opt_state,
                                          jax.random.fold_in(key, i),
-                                         jnp.asarray(i), model.next_train_batch())
+                                         jnp.asarray(i), model.train_data)
         if i % 3 == 2:
             float(log["loss_total"])
 
@@ -56,7 +56,7 @@ def main():
         params, opt_state, log = step_fn(params, opt_state,
                                          jax.random.fold_in(key, 100 + i),
                                          jnp.asarray(100 + i),
-                                         model.next_train_batch())
+                                         model.train_data)
     float(log["loss_total"])
     dt = (time.perf_counter() - t0) / n
 
