@@ -88,13 +88,15 @@ def distill_field(vertices, triangles, bvh_np, *, width=128, depth=4, pe=6,
     target = np.clip(mesh_sdf_points(bvh_np, pts), -clamp, clamp)
 
     params = init_field(jax.random.PRNGKey(seed), width, depth, pe)
-    opt = optax.adam(optax.warmup_cosine_decay_schedule(0.0, 2e-3, 100, steps, 1e-4))
+    warmup = min(100, max(1, steps // 10))
+    opt = optax.adam(optax.warmup_cosine_decay_schedule(0.0, 2e-3, warmup,
+                                                        steps, 1e-4))
     opt_state = opt.init(params)
     pts_j = jnp.asarray(pts)
     tgt_j = jnp.asarray(target)
 
-    @jax.jit
-    def step(params, opt_state, key):
+    def one_step(carry, key):
+        params, opt_state = carry
         idx = jax.random.randint(key, (batch,), 0, pts_j.shape[0])
         x = pts_j[idx]
         t = tgt_j[idx]
@@ -105,11 +107,22 @@ def distill_field(vertices, triangles, bvh_np, *, width=128, depth=4, pe=6,
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    # scan over step chunks: one dispatch per chunk, not per step (the
+    # per-call dispatch overhead dominated distillation wall-clock)
+    @jax.jit
+    def run_chunk(params, opt_state, keys):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), keys)
+        return params, opt_state, losses[-1]
 
     key = jax.random.PRNGKey(seed + 1)
-    for i in range(steps):
-        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, i))
+    chunk = 250
+    for c in range(0, steps, chunk):
+        n = min(chunk, steps - c)
+        keys = jax.random.split(jax.random.fold_in(key, c), n)
+        params, opt_state, loss = run_chunk(params, opt_state, keys)
 
     # report the near-band residual (what visibility accuracy depends on)
     band = np.abs(target) < 0.02
@@ -193,20 +206,34 @@ class NeuralTracer:
     trace(rays_o, rays_d) -> (inters, normals (inward), depth [R,1], hit);
     miss => depth == far. Exact host BVH retained for precompute passes."""
 
+    CACHE_DIR = "data/cache/neural_tracer"
+
     def __init__(self, vertices: np.ndarray, triangles: np.ndarray,
                  far: float = 10.0, width: int = 128, depth: int = 4,
                  pe: int = 6, distill_steps: int = 3000, n_coarse: int = 48,
                  n_refine: int = 8, seed: int = 0, verbose: bool = True,
-                 use_fused: bool | None = None):
+                 use_fused: bool | None = None, cache: bool = True,
+                 distill_samples: int = 1_500_000, distill_batch: int = 65536):
         self.far = far
         self.n_coarse = n_coarse
         self.n_refine = n_refine
         self._bvh_tracer = RayTracer(vertices, triangles, far=far)
         self.bound = float(np.linalg.norm(vertices, axis=-1).max() * 1.05 + 0.02)
-        self.field_params, self.distill_rms = distill_field(
-            vertices, triangles, self._bvh_tracer._bvh_np,
-            width=width, depth=depth, pe=pe, steps=distill_steps, seed=seed,
-            bound=self.bound)
+        cached = self._load_cache(vertices, triangles, width, depth, pe,
+                                  distill_steps, seed, distill_samples,
+                                  distill_batch) if cache else None
+        if cached is not None:
+            self.field_params, self.distill_rms = cached
+            if verbose:
+                print(f"[NeuralTracer] loaded cached field ({self._cache_path})")
+        else:
+            self.field_params, self.distill_rms = distill_field(
+                vertices, triangles, self._bvh_tracer._bvh_np,
+                width=width, depth=depth, pe=pe, steps=distill_steps, seed=seed,
+                bound=self.bound, n_samples=distill_samples,
+                batch=distill_batch)
+            if cache:
+                self._save_cache()
         if use_fused is None:
             use_fused = (jax.default_backend() == "tpu" and width == 128
                          and depth == 4)
@@ -219,6 +246,47 @@ class NeuralTracer:
         if verbose:
             print(f"[NeuralTracer] distilled {width}x{depth} field; "
                   f"near-band RMS {self.distill_rms:.4f}; fused={use_fused}")
+
+    # -------------------------------------------------------------- cache
+    def _load_cache(self, vertices, triangles, width, depth, pe, steps, seed,
+                    n_samples, batch):
+        """Distilled fields are deterministic in (mesh, hyperparams, seed) —
+        cache them on disk so every CLI that rebuilds the material model
+        (train / validate / extract / bake) pays distillation once."""
+        import hashlib
+        import os
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(vertices, np.float32).tobytes())
+        h.update(np.ascontiguousarray(triangles, np.int32).tobytes())
+        h.update(f"w{width}d{depth}pe{pe}s{steps}seed{seed}n{n_samples}"
+                 f"b{batch}v1".encode())
+        self._cache_path = os.path.join(self.CACHE_DIR, h.hexdigest() + ".npz")
+        if not os.path.exists(self._cache_path):
+            return None
+        try:
+            data = np.load(self._cache_path)
+            n_layers = int(data["n_layers"])
+            params = {"layers": [{"w": jnp.asarray(data[f"w{i}"]),
+                                  "b": jnp.asarray(data[f"b{i}"])}
+                                 for i in range(n_layers)]}
+            return params, float(data["rms"])
+        except Exception as e:  # corrupt cache: re-distill
+            print(f"[NeuralTracer] cache read failed ({e}); re-distilling")
+            return None
+
+    def _save_cache(self):
+        import os
+        os.makedirs(self.CACHE_DIR, exist_ok=True)
+        layers = self.field_params["layers"]
+        arrs = {"n_layers": np.asarray(len(layers)),
+                "rms": np.asarray(self.distill_rms)}
+        for i, layer in enumerate(layers):
+            arrs[f"w{i}"] = np.asarray(layer["w"])
+            arrs[f"b{i}"] = np.asarray(layer["b"])
+        tmp = self._cache_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrs)
+        os.replace(tmp, self._cache_path)
 
     def trace_fn(self):
         params, packed, bound, far = (self.field_params, self.packed,

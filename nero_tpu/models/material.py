@@ -55,6 +55,10 @@ DEFAULT_MATERIAL_CFG = {
     # XLA wavefront; slow on TPU, useful for small meshes/debug)
     "tracer": "neural",
     "tracer_distill_steps": 3000,
+    # if the distilled field's near-band RMS exceeds this, the mesh is too
+    # hard for the neural tracer — fall back to the exact grid tracer and say
+    # so loudly (visibility errors silently poison Stage-II otherwise)
+    "tracer_rms_fallback": 0.004,
 }
 
 
@@ -85,6 +89,13 @@ class NeROMaterialModel:
                 self.vertices, self.triangles,
                 distill_steps=self.cfg["tracer_distill_steps"],
                 seed=self.cfg["random_seed"])
+            threshold = self.cfg["tracer_rms_fallback"]
+            if self.ray_tracer.distill_rms > threshold:
+                print(f"[NeROMaterialModel] WARNING: neural tracer distill RMS "
+                      f"{self.ray_tracer.distill_rms:.4f} > {threshold} — "
+                      f"falling back to the exact grid tracer for this mesh")
+                from nero_tpu.geometry.grid_tracer import GridTracer
+                self.ray_tracer = GridTracer(self.vertices, self.triangles)
         elif backend == "grid":
             from nero_tpu.geometry.grid_tracer import GridTracer
             self.ray_tracer = GridTracer(self.vertices, self.triangles)

@@ -13,7 +13,8 @@ def tracer():
     verts, tris = extract_geometry(
         [-1, -1, -1], [1, 1, 1], 48, 0.0,
         lambda p: jnp.linalg.norm(p, axis=-1, keepdims=True) - 0.5)
-    return NeuralTracer(verts, tris, distill_steps=600, verbose=False)
+    return NeuralTracer(verts, tris, distill_steps=450, distill_samples=200_000,
+                        distill_batch=16384, verbose=False, cache=False)
 
 
 def test_distillation_quality(tracer):
@@ -42,6 +43,80 @@ def test_trace_agreement_with_exact(tracer):
         # inward normals (match the BVH winding convention)
         dots = np.sum(ng[m] * nc[m], -1)
         assert dots.mean() > 0.9
+
+
+@pytest.fixture(scope="module")
+def bowl_mesh():
+    """Concave, multi-component mesh (bowl shell + inner ball)."""
+    from nero_tpu.dataset.synthetic import scene_sdf
+    import nero_tpu.geometry.native as native
+    sdf = scene_sdf("bowl")
+    grid = 56
+    xs = np.linspace(-0.55, 0.55, grid).astype(np.float32)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    vals = sdf(np.stack([X, Y, Z], -1).reshape(-1, 3)) \
+        .reshape(grid, grid, grid).astype(np.float32)
+    verts, tris = native.isosurface(vals, 0.0)
+    verts = (verts / (grid - 1.0) * 1.1 - 0.55).astype(np.float32)
+    return verts, tris
+
+
+def test_concave_multicomponent_agreement(bowl_mesh, tmp_path, monkeypatch):
+    """Neural tracer vs exact BVH on concave geometry with self-occlusion.
+
+    The shading-relevant population: rays from surface points that clear the
+    local surface (exact depth > 0.05 or miss) — inward self-hits are zeroed
+    by near_mask in get_lights. Bar: >= 0.98 hit agreement (VERDICT r1 #5a)."""
+    verts, tris = bowl_mesh
+    monkeypatch.setattr(NeuralTracer, "CACHE_DIR", str(tmp_path))
+    tracer = NeuralTracer(verts, tris, distill_steps=900,
+                          distill_samples=300_000, distill_batch=16384,
+                          verbose=False)
+    assert tracer.distill_rms < 0.004, tracer.distill_rms
+
+    rng = np.random.RandomState(0)
+    n = 8192
+    ti = rng.randint(0, len(tris), n)
+    u, v = rng.rand(n, 1), rng.rand(n, 1)
+    flip = (u + v) > 1
+    u = np.where(flip, 1 - u, u)
+    v = np.where(flip, 1 - v, v)
+    p = (verts[tris[ti, 0]] + u * (verts[tris[ti, 1]] - verts[tris[ti, 0]])
+         + v * (verts[tris[ti, 2]] - verts[tris[ti, 0]]))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = (p + d * 1e-3).astype(np.float32)
+
+    _, nc, dc, hc = tracer.trace_cpu(o, d)
+    _, ng, dg, hg = jax.tree_util.tree_map(
+        np.asarray, tracer.trace(jnp.asarray(o), jnp.asarray(d)))
+
+    # concavity sanity: a meaningful share of surface-origin rays re-hit the
+    # scene (self-occlusion) — impossible on a convex shape
+    assert hc.mean() > 0.3
+
+    clear = (~hc) | (dc > 0.05)
+    agree = (hg == hc)[clear].mean()
+    assert agree >= 0.98, f"clearing-ray hit agreement {agree}"
+    both = clear & hc & hg & (dg[:, 0] > 0.05)
+    assert np.abs(dg[:, 0][both] - dc[both]).mean() < 0.01
+    assert np.sum(ng[both] * nc[both], -1).mean() > 0.95
+
+
+def test_distill_cache_roundtrip(bowl_mesh, tmp_path, monkeypatch):
+    """Second construction must load from cache, bit-identical params."""
+    verts, tris = bowl_mesh
+    monkeypatch.setattr(NeuralTracer, "CACHE_DIR", str(tmp_path))
+    t1 = NeuralTracer(verts, tris, distill_steps=40, distill_samples=30_000,
+                      distill_batch=8192, verbose=False)
+    import time
+    t0 = time.time()
+    t2 = NeuralTracer(verts, tris, distill_steps=40, distill_samples=30_000,
+                      distill_batch=8192, verbose=False)
+    assert time.time() - t0 < 15.0  # no re-distillation
+    assert t2.distill_rms == t1.distill_rms
+    for l1, l2 in zip(t1.field_params["layers"], t2.field_params["layers"]):
+        np.testing.assert_array_equal(np.asarray(l1["w"]), np.asarray(l2["w"]))
 
 
 def test_miss_semantics(tracer):
