@@ -130,6 +130,124 @@ int isosurface(const float* grid, int nx, int ny, int nz, float iso,
 }
 
 // ---------------------------------------------------------------------------
+// Iso-surface extraction (marching tetrahedra)
+// ---------------------------------------------------------------------------
+// Marching-cubes-family extractor with EXACT edge-interpolated vertices
+// (unlike surface nets' cell centroids): each cube splits into 6 tetrahedra
+// around the main diagonal — unambiguous cases, crack-free because adjacent
+// cubes share identical face diagonals. Counterpart of the reference's
+// pymcubes (reference network/field.py:1112). Same I/O contract as
+// isosurface(), and the SAME winding convention (normals toward decreasing
+// field) so the two extractors are drop-in interchangeable downstream.
+int isosurface_mt(const float* grid, int nx, int ny, int nz, float iso,
+                  float** out_verts, int* out_nv, int** out_tris, int* out_nt) {
+  auto sample = [&](int x, int y, int z) -> float {
+    return grid[(size_t)(x * ny + y) * nz + z];
+  };
+  auto point_id = [&](int x, int y, int z) -> uint64_t {
+    return ((uint64_t)x * ny + y) * nz + z;
+  };
+  static const int CO[8][3] = {{0,0,0},{1,0,0},{0,1,0},{1,1,0},
+                               {0,0,1},{1,0,1},{0,1,1},{1,1,1}};
+  // 6 tets sharing the main diagonal 0-7, positively oriented
+  static const int TETS[6][4] = {{0,5,1,7},{0,1,3,7},{0,3,2,7},
+                                 {0,2,6,7},{0,6,4,7},{0,4,5,7}};
+
+  std::unordered_map<uint64_t, int> edge_vert;  // packed (id0,id1) -> vertex
+  std::vector<float> verts;
+  std::vector<int> tris;
+
+  // crossing vertex on the segment between global lattice points a, b
+  auto edge_vertex = [&](const int a[3], const int b[3], float va, float vb) -> int {
+    uint64_t ia = point_id(a[0], a[1], a[2]);
+    uint64_t ib = point_id(b[0], b[1], b[2]);
+    uint64_t key = ia < ib ? (ia << 32 | ib) : (ib << 32 | ia);
+    auto it = edge_vert.find(key);
+    if (it != edge_vert.end()) return it->second;
+    float t = va / (va - vb);
+    int id = (int)(verts.size() / 3);
+    for (int k = 0; k < 3; ++k)
+      verts.push_back(a[k] + t * (b[k] - a[k]));
+    edge_vert[key] = id;
+    return id;
+  };
+
+  // emit with geometric orientation: wind so the face normal points AGAINST
+  // `outward` (toward the negative side — matches isosurface()'s convention)
+  auto emit = [&](int i0, int i1, int i2, const float outward[3]) {
+    const float* a = &verts[3 * i0];
+    const float* b = &verts[3 * i1];
+    const float* c = &verts[3 * i2];
+    float u[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+    float w[3] = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+    float n0 = u[1] * w[2] - u[2] * w[1];
+    float n1 = u[2] * w[0] - u[0] * w[2];
+    float n2 = u[0] * w[1] - u[1] * w[0];
+    if (n0 * outward[0] + n1 * outward[1] + n2 * outward[2] > 0)
+      std::swap(i1, i2);
+    tris.insert(tris.end(), {i0, i1, i2});
+  };
+
+  for (int x = 0; x + 1 < nx; ++x)
+    for (int y = 0; y + 1 < ny; ++y)
+      for (int z = 0; z + 1 < nz; ++z) {
+        float cv[8];
+        int neg_all = 0;
+        for (int c = 0; c < 8; ++c) {
+          cv[c] = sample(x + CO[c][0], y + CO[c][1], z + CO[c][2]) - iso;
+          neg_all += cv[c] < 0;
+        }
+        if (neg_all == 0 || neg_all == 8) continue;
+        int gp[8][3];
+        for (int c = 0; c < 8; ++c) {
+          gp[c][0] = x + CO[c][0];
+          gp[c][1] = y + CO[c][1];
+          gp[c][2] = z + CO[c][2];
+        }
+        for (int t = 0; t < 6; ++t) {
+          const int* T = TETS[t];
+          float v[4] = {cv[T[0]], cv[T[1]], cv[T[2]], cv[T[3]]};
+          int neg[4], nneg = 0, pos[4], npos = 0;
+          for (int k = 0; k < 4; ++k)
+            (v[k] < 0 ? neg[nneg++] : pos[npos++]) = k;
+          if (nneg == 0 || nneg == 4) continue;
+          auto EV = [&](int ka, int kb) {
+            return edge_vertex(gp[T[ka]], gp[T[kb]], v[ka], v[kb]);
+          };
+          // outward = centroid(positive corners) - centroid(negative corners)
+          float outward[3] = {0, 0, 0};
+          for (int k = 0; k < npos; ++k)
+            for (int j = 0; j < 3; ++j)
+              outward[j] += gp[T[pos[k]]][j] / (float)npos;
+          for (int k = 0; k < nneg; ++k)
+            for (int j = 0; j < 3; ++j)
+              outward[j] -= gp[T[neg[k]]][j] / (float)nneg;
+          if (nneg == 1) {
+            int n = neg[0];
+            emit(EV(n, pos[0]), EV(n, pos[1]), EV(n, pos[2]), outward);
+          } else if (nneg == 3) {
+            int p = pos[0];
+            emit(EV(p, neg[0]), EV(p, neg[1]), EV(p, neg[2]), outward);
+          } else {
+            // two crossings quad: edges n0-p0, n0-p1, n1-p1, n1-p0
+            int n0 = neg[0], n1 = neg[1], p0 = pos[0], p1 = pos[1];
+            int a = EV(n0, p0), b = EV(n0, p1), c = EV(n1, p1), d = EV(n1, p0);
+            emit(a, b, c, outward);
+            emit(a, c, d, outward);
+          }
+        }
+      }
+
+  *out_nv = (int)(verts.size() / 3);
+  *out_nt = (int)(tris.size() / 3);
+  *out_verts = (float*)malloc(std::max<size_t>(verts.size(), 1) * sizeof(float));
+  *out_tris = (int*)malloc(std::max<size_t>(tris.size(), 1) * sizeof(int));
+  memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
+  memcpy(*out_tris, tris.data(), tris.size() * sizeof(int));
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // BVH build (binned median split, flattened with hit/miss links)
 // ---------------------------------------------------------------------------
 struct BuildTri {

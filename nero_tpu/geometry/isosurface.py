@@ -51,12 +51,20 @@ def extract_fields(bound_min, bound_max, resolution: int, query_fn,
 
 
 def extract_geometry(bound_min, bound_max, resolution: int, threshold: float,
-                     query_fn, outside_val: float = 1.0):
+                     query_fn, outside_val: float = 1.0,
+                     method: str = "surface_nets"):
     """Full pipeline: grid eval -> iso-surface -> rescale to bbox.
 
+    method: 'surface_nets' (cell-centred vertices, smoother) or
+    'marching_tets' (exact edge-interpolated vertices, mcubes-family — the
+    reference's pymcubes counterpart, reference network/field.py:1112).
     Returns (vertices [V,3] f32 world coords, triangles [T,3] i32)."""
     u = extract_fields(bound_min, bound_max, resolution, query_fn, outside_val)
-    vertices, triangles = isosurface(u, threshold)
+    if method == "marching_tets":
+        from nero_tpu.geometry.native import isosurface_mt
+        vertices, triangles = isosurface_mt(u, threshold)
+    else:
+        vertices, triangles = isosurface(u, threshold)
     bound_min = np.asarray(bound_min, np.float32)
     bound_max = np.asarray(bound_max, np.float32)
     vertices = vertices / (resolution - 1.0) * (bound_max - bound_min)[None, :] \

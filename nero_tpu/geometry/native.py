@@ -48,6 +48,7 @@ def get_lib():
         lib.isosurface.argtypes = [_F32P, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                    ctypes.c_float, ctypes.POINTER(_F32P), _I32P,
                                    ctypes.POINTER(_I32P), _I32P]
+        lib.isosurface_mt.argtypes = lib.isosurface.argtypes
         lib.bvh_build.argtypes = [_F32P, ctypes.c_int, _I32P, ctypes.c_int,
                                   ctypes.c_int, ctypes.POINTER(_F32P),
                                   ctypes.POINTER(_I32P), _I32P,
@@ -99,6 +100,27 @@ def isosurface(grid: np.ndarray, iso: float = 0.0):
     lib.isosurface(grid.ctypes.data_as(_F32P), nx, ny, nz, ctypes.c_float(iso),
                    ctypes.byref(verts_p), ctypes.byref(nv),
                    ctypes.byref(tris_p), ctypes.byref(nt))
+    verts = _take_array(lib, verts_p, (nv.value, 3), np.float32)
+    tris = _take_array(lib, tris_p, (max(nt.value, 0), 3), np.int32)
+    return verts, tris
+
+
+def isosurface_mt(grid: np.ndarray, iso: float = 0.0):
+    """Marching-tetrahedra iso-surface (exact edge-interpolated vertices).
+
+    Marching-cubes-family counterpart of `isosurface` (surface nets); same
+    return contract: (vertices [V,3] grid coords, triangles [T,3] int32)."""
+    lib = get_lib()
+    grid = _as_f32(grid)
+    nx, ny, nz = grid.shape
+    verts_p = _F32P()
+    tris_p = _I32P()
+    nv = ctypes.c_int()
+    nt = ctypes.c_int()
+    lib.isosurface_mt(grid.ctypes.data_as(_F32P), nx, ny, nz,
+                      ctypes.c_float(iso),
+                      ctypes.byref(verts_p), ctypes.byref(nv),
+                      ctypes.byref(tris_p), ctypes.byref(nt))
     verts = _take_array(lib, verts_p, (nv.value, 3), np.float32)
     tris = _take_array(lib, tris_p, (max(nt.value, 0), 3), np.int32)
     return verts, tris

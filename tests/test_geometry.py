@@ -40,6 +40,34 @@ def test_isosurface_sphere():
     assert frac > 0.99 or frac < 0.01, f"inconsistent orientation {frac}"
 
 
+def test_marching_tets_sphere():
+    """MT extractor: exact edge vertices, watertight, surface-nets winding."""
+    from nero_tpu.geometry.native import isosurface_mt
+    res = 48
+    grid = _sphere_grid(res, 0.5)
+    verts, tris = isosurface_mt(grid, 0.0)
+    verts = verts / (res - 1.0) * 2.0 - 1.0
+    r = np.linalg.norm(verts, axis=-1)
+    # edge-interpolated vertices sit ON the analytic level set
+    assert np.abs(r - 0.5).mean() < 2e-3
+    # watertight: every edge shared by exactly two triangles
+    edges = {}
+    for tri in tris:
+        for a, b in [(tri[0], tri[1]), (tri[1], tri[2]), (tri[2], tri[0])]:
+            k = (min(a, b), max(a, b))
+            edges[k] = edges.get(k, 0) + 1
+    assert all(c == 2 for c in edges.values())
+    # same winding convention as isosurface(): signed volume negative
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    vol = np.sum(np.einsum("ij,ij->i", v0, np.cross(v1, v2))) / 6.0
+    sn_verts, sn_tris = isosurface(grid, 0.0)
+    sn_verts = sn_verts / (res - 1.0) * 2.0 - 1.0
+    s0, s1, s2 = sn_verts[sn_tris[:, 0]], sn_verts[sn_tris[:, 1]], sn_verts[sn_tris[:, 2]]
+    sn_vol = np.sum(np.einsum("ij,ij->i", s0, np.cross(s1, s2))) / 6.0
+    assert np.sign(vol) == np.sign(sn_vol)
+    np.testing.assert_allclose(abs(vol), 4 / 3 * np.pi * 0.5 ** 3, rtol=0.02)
+
+
 def test_extract_geometry_scaling():
     verts, tris = extract_geometry([-1, -1, -1], [1, 1, 1], 48, 0.0,
                                    lambda p: jnp.linalg.norm(p, axis=-1, keepdims=True) - 0.5)

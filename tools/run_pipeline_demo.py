@@ -22,6 +22,13 @@ def main():
     parser.add_argument("--res", type=int, default=100)
     parser.add_argument("--mesh_res", type=int, default=128)
     parser.add_argument("--out", type=str, default="data/demo")
+    parser.add_argument("--scene", type=str, default="sphere",
+                        choices=["sphere", "bowl"])
+    parser.add_argument("--mesh_method", type=str, default="surface_nets",
+                        choices=["surface_nets", "marching_tets"])
+    parser.add_argument("--tracers2", type=str, default="neural",
+                        help="comma list of Stage-II visibility backends to "
+                             "ablate (neural,grid,bvh)")
     flags = parser.parse_args()
 
     import jax
@@ -31,7 +38,7 @@ def main():
     from nero_tpu.train.trainer import Trainer
 
     os.makedirs(flags.out, exist_ok=True)
-    db = f"proc/sphere/{flags.res}_12"
+    db = f"proc/{flags.scene}/{flags.res}_12"
     report = {}
 
     # ---------------- Stage I ----------------
@@ -67,7 +74,8 @@ def main():
     scfg = trainer1.model.scfg
     verts, tris = extract_geometry(
         [-1.01, -1.01, -1.01], [1.01, 1.01, 1.01], flags.mesh_res, 0.0,
-        lambda p: sdf_value(params1["sdf"], p, scfg.sdf_cfg))
+        lambda p: sdf_value(params1["sdf"], p, scfg.sdf_cfg),
+        method=flags.mesh_method)
     mesh_path = f"{flags.out}/demo_shape-{flags.steps1}.ply"
     write_ply(mesh_path, verts, tris)
     report["mesh_verts"] = int(len(verts))
@@ -78,30 +86,38 @@ def main():
     gt_pts = get_database_eval_points(parse_database_name(db), voxel_size=0.02)
     chamfer, _, _ = chamfer_distance(verts, gt_pts)
     report["chamfer"] = round(float(chamfer), 5)
-    # analytic truth: the scene is a 0.5-sphere
-    r = np.linalg.norm(verts, axis=-1)
-    report["mesh_radius_mae"] = round(float(np.abs(r - 0.5).mean()), 5)
+    # analytic truth: distance of mesh vertices to the scene's exact SDF
+    from nero_tpu.dataset.synthetic import scene_sdf
+    sdf_err = np.abs(scene_sdf(flags.scene)(verts))
+    report["mesh_sdf_mae"] = round(float(sdf_err.mean()), 5)
+    if flags.scene == "sphere":
+        r = np.linalg.norm(verts, axis=-1)
+        report["mesh_radius_mae"] = round(float(np.abs(r - 0.5).mean()), 5)
 
-    # ---------------- Stage II ----------------
-    t0 = time.time()
-    cfg2 = {
-        "name": "demo_material", "network": "material", "database_name": db,
-        "mesh": mesh_path, "total_step": flags.steps2,
-        "val_interval": flags.steps2, "save_interval": max(flags.steps2 // 2, 1),
-        "train_log_step": 100,
-        "lr_cfg": {"end_warm": 100, "end_iter": flags.steps2},
-        "shader_cfg": {"diffuse_sample_num": 128, "specular_sample_num": 64,
-                       "human_lights": False, "outer_light_version": "direction"},
-        "loss": ["nerf_render", "mat_reg"], "val_metric": ["mat_render"],
-        "key_metric_name": "psnr", "model_root": f"{flags.out}/model",
-    }
-    trainer2 = Trainer(cfg2)
-    params2 = trainer2.run()
-    report["stage2_seconds"] = round(time.time() - t0, 1)
+    # ---------------- Stage II (per visibility backend) ----------------
+    trainer2 = params2 = None
+    for tracer in flags.tracers2.split(","):
+        t0 = time.time()
+        cfg2 = {
+            "name": f"demo_material_{tracer}", "network": "material",
+            "database_name": db,
+            "mesh": mesh_path, "total_step": flags.steps2, "tracer": tracer,
+            "val_interval": flags.steps2, "save_interval": max(flags.steps2 // 2, 1),
+            "train_log_step": 100,
+            "lr_cfg": {"end_warm": 100, "end_iter": flags.steps2},
+            "shader_cfg": {"diffuse_sample_num": 128, "specular_sample_num": 64,
+                           "human_lights": False, "outer_light_version": "direction"},
+            "loss": ["nerf_render", "mat_reg"], "val_metric": ["mat_render"],
+            "key_metric_name": "psnr", "model_root": f"{flags.out}/model",
+        }
+        trainer2 = Trainer(cfg2)
+        params2 = trainer2.run()
+        report[f"stage2_seconds_{tracer}"] = round(time.time() - t0, 1)
 
-    out2 = trainer2.model.test_step(params2, 0)
-    report["stage2_psnr"] = round(compute_psnr(
-        color_map_backward(out2["rgb_gt"]), color_map_backward(out2["rgb_pr"])), 2)
+        out2 = trainer2.model.test_step(params2, 0)
+        report[f"stage2_psnr_{tracer}"] = round(compute_psnr(
+            color_map_backward(out2["rgb_gt"]), color_map_backward(out2["rgb_pr"])), 2)
+    report["stage2_psnr"] = report[f"stage2_psnr_{flags.tracers2.split(',')[0]}"]
 
     # ---------------- exports ----------------
     mats = trainer2.model.predict_materials(params2)
