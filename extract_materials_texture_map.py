@@ -15,19 +15,26 @@ import numpy as np
 from nero_tpu.core.checkpoint import load_checkpoint
 from nero_tpu.core.config import load_cfg
 from nero_tpu.geometry.native import rasterize_uv
-from nero_tpu.geometry.uv_atlas import (export_mtl, export_obj, knn_inpaint,
-                                        triangle_atlas)
+from nero_tpu.geometry.uv_atlas import (chart_atlas, export_mtl, export_obj,
+                                        knn_inpaint, triangle_atlas)
 from nero_tpu.models.material import NeROMaterialModel
 from nero_tpu.utils.color import linear_to_srgb
 from nero_tpu.utils.image import imsave
 
 
-def bake_textures(model, params, resolution: int = 1024, batch: int = 8192):
+def bake_textures(model, params, resolution: int = 1024, batch: int = 8192,
+                  atlas: str = "charts", verbose: bool = True):
     verts, tris = model.vertices, model.triangles
-    uv, uv_tris, vert_map = triangle_atlas(tris)
-    corner_pos = verts[vert_map]  # [T*3, 3]
+    if atlas == "charts":
+        uv, uv_tris, vert_map = chart_atlas(verts, tris, resolution=resolution)
+    else:
+        uv, uv_tris, vert_map = triangle_atlas(tris)
+    corner_pos = verts[vert_map]  # [uvN, 3]
 
     pos_img, mask = rasterize_uv(uv, uv_tris, corner_pos, resolution, resolution)
+    if verbose:
+        print(f"[bake] atlas={atlas} uv_verts={len(uv)} "
+              f"texel_utilization={mask.mean():.3f}")
     pts = pos_img[mask]
     mats = np.zeros((len(pts), 5), np.float32)
     for i in range(0, len(pts), batch):
@@ -52,6 +59,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", type=str, required=True)
     parser.add_argument("--resolution", type=int, default=1024)
+    parser.add_argument("--atlas", type=str, default="charts",
+                        choices=["charts", "per_triangle"])
     parser.add_argument("--output_dir", type=str, default="data/materials_texture")
     flags = parser.parse_args()
 
@@ -64,7 +73,7 @@ def main():
     print(f"loaded step {step} from {ckpt_fn}")
 
     albedo, metallic, roughness, (uv, uv_tris, vert_map) = bake_textures(
-        model, params, flags.resolution)
+        model, params, flags.resolution, atlas=flags.atlas)
 
     out_dir = Path(flags.output_dir) / f"{cfg['name']}-{step}"
     out_dir.mkdir(exist_ok=True, parents=True)

@@ -71,6 +71,32 @@ def test_triangle_atlas_and_bake(tmp_path):
     assert sum(l.startswith("f ") for l in lines) == len(tris)
 
 
+def test_chart_atlas():
+    """Chart atlas: in-bounds, overlap-free, fewer seams than per-triangle."""
+    from nero_tpu.geometry.uv_atlas import chart_atlas
+    verts, tris = extract_geometry([-1, -1, -1], [1, 1, 1], 32, 0.0,
+                                   lambda p: jnp.linalg.norm(p, axis=-1, keepdims=True) - 0.5)
+    uv, uv_tris, vert_map = chart_atlas(verts, tris, resolution=256)
+    assert uv.min() >= 0 and uv.max() <= 1
+    assert uv_tris.shape == tris.shape
+    # charts share interior vertices: far fewer uv rows than 3 per triangle
+    assert len(uv) < 1.5 * len(verts)
+    # every uv row maps back to a real vertex and parameterises it exactly
+    assert vert_map.shape == (len(uv),)
+    res = 256
+    pos_img, mask = rasterize_uv(uv, uv_tris, verts[vert_map], res, res)
+    assert mask.mean() > 0.35  # packed utilization
+    r = np.linalg.norm(pos_img[mask], axis=-1)
+    assert np.abs(r - 0.5).max() < 0.1
+    # overlap-free: each triangle's UV centroid rasterises to its own centroid
+    cen_uv = uv[uv_tris].mean(1)
+    cen_3d = verts[tris].mean(1)
+    px = np.clip((cen_uv * res).astype(int), 0, res - 1)
+    ok = mask[px[:, 1], px[:, 0]]
+    err = np.linalg.norm(pos_img[px[:, 1], px[:, 0]][ok] - cen_3d[ok], axis=-1)
+    assert np.percentile(err, 99) < 0.15  # one-texel quantisation at res 256
+
+
 def test_colmap_db(tmp_path):
     path = str(tmp_path / "database.db")
     db = COLMAPDatabase(path)
