@@ -39,28 +39,31 @@ class Logger:
 
 
 class RaysPerSecMeter:
-    """Sliding-window rays/sec counter (call tick(rays) once per step)."""
+    """Rays/sec measured ONLY across host-sync boundaries.
 
-    def __init__(self, window: int = 50):
-        self.window = window
-        self._events = []
+    jax dispatch is asynchronous (and the TPU tunnel defers aggressively):
+    per-step wall timestamps measure enqueue rate, not execution — a
+    sliding-window tick meter here once reported 6x the real throughput
+    (MFU > 1). The only honest measurement is wall time between two points
+    where a host readback has proven all intervening device work complete;
+    call sync(step, rays_per_step) right after such a readback."""
 
-    def tick(self, rays: int):
-        self._events.append((time.perf_counter(), rays))
-        if len(self._events) > self.window:
-            self._events.pop(0)
+    def __init__(self):
+        self._last = None
+        self.rays_per_sec = 0.0
+        self.step_seconds = 0.0
 
-    @property
-    def rays_per_sec(self) -> float:
-        if len(self._events) < 2:
-            return 0.0
-        dt = self._events[-1][0] - self._events[0][0]
-        total = sum(r for _, r in self._events[1:])
-        return total / max(dt, 1e-9)
+    def sync(self, step: int, rays_per_step: int):
+        """Record a proven-complete point; updates the published rates."""
+        now = time.perf_counter()
+        if self._last is not None:
+            t0, s0 = self._last
+            n = step - s0
+            if n > 0 and now > t0:
+                self.step_seconds = (now - t0) / n
+                self.rays_per_sec = rays_per_step / self.step_seconds
+        self._last = (now, step)
 
-    @property
-    def step_seconds(self) -> float:
-        if len(self._events) < 2:
-            return 0.0
-        dt = self._events[-1][0] - self._events[0][0]
-        return dt / (len(self._events) - 1)
+    def reset(self):
+        """Invalidate the baseline (call after validation/checkpoint pauses)."""
+        self._last = None

@@ -9,6 +9,8 @@ deployments extend the same mesh with an outer axis.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -17,7 +19,13 @@ DATA_AXIS = "data"
 
 
 def make_data_mesh(devices=None) -> Mesh:
-    devices = jax.devices() if devices is None else devices
+    if devices is None:
+        devices = jax.devices()
+        # cap the DEFAULT mesh size (tests pin this to 1 so tiny models don't
+        # compile 8-way GSPMD programs; explicit `devices` is never capped)
+        cap = os.environ.get("NERO_MESH_DEVICES")
+        if cap:
+            devices = devices[:int(cap)]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 

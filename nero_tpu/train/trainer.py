@@ -123,10 +123,12 @@ class Trainer:
             if prof_dir and step == prof_window.stop - 1:
                 jax.block_until_ready(log["loss_total"])
                 jax.profiler.stop_trace()
-            meter.tick(rays_per_step)
 
             if (step + 1) % self.cfg["train_log_step"] == 0:
+                # the float() readbacks prove all device work to this step is
+                # done — the only point where wall-clock rates are honest
                 host_log = {k: float(v) for k, v in log.items()}
+                meter.sync(step, rays_per_step)
                 host_log["lr"] = float(self._lr_schedule(step))
                 host_log["rays_per_sec"] = meter.rays_per_sec
                 host_log["mfu"] = mfu(flops_per_step, meter.step_seconds)
@@ -153,9 +155,11 @@ class Trainer:
                                     params, opt_state)
                 logger.log({k: float(np.mean(v)) for k, v in all_results.items()},
                            "val", step + 1)
+                meter.reset()  # validation pause must not pollute the rate
 
             if (step + 1) % self.cfg["save_interval"] == 0:
                 save_checkpoint(self.ckpt_fn, step + 1, best_para, params, opt_state)
+                meter.reset()
 
         save_checkpoint(self.ckpt_fn, total, best_para, params, opt_state)
         self.model.params = params

@@ -8,6 +8,9 @@ import sys
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# default-mesh models run single-device: sharding tests pass devices
+# explicitly; everything else shouldn't pay 8-way GSPMD on one CPU core
+os.environ.setdefault("NERO_MESH_DEVICES", "1")
 
 import jax  # noqa: E402
 

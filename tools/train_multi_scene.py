@@ -71,10 +71,10 @@ def main():
         keys = ms.scene_keys(key, step)
         params, opt_state, log = step_fn(params, opt_state, keys,
                                          jnp.asarray(step), data)
-        meter.tick(rays_per_step)
         if (step + 1) % flags.log_step == 0:
+            losses = np.asarray(log["loss_total"])  # host sync
+            meter.sync(step, rays_per_step)
             scalars = {"rays_per_sec": meter.rays_per_sec}
-            losses = np.asarray(log["loss_total"])
             for s, name in enumerate(names):
                 scalars[f"{name}/loss_total"] = float(losses[s])
             logger.log(scalars, "train", step + 1)
