@@ -66,6 +66,21 @@ class ShapeConfig(NamedTuple):
     # shader
     shader: AppShadingConfig = AppShadingConfig()
     fixed_camera: bool = False
+    # evaluate the background NeRF on the inner lattice too (exact parity with
+    # reference renderer.py:567-572, where inner samples that fall outside the
+    # unit sphere take the background's alpha/color). The inner z range is the
+    # unit-sphere chord, so only a sliver of boundary mid-points lands outside;
+    # skipping them (False) drops ~45% of the step's background FLOPs.
+    # Measured (tools/bench_stage1_ab.py + tools/eval_bg_on_inner.py, bowl 30k
+    # checkpoint): step 48.4 -> 42.5 ms; val PSNR 31.52 -> 31.56 (+0.04 dB);
+    # render-vs-render 43.6 dB.
+    bg_on_inner: bool = False
+    # spatial SDF gradient: 'rev' (reverse-mode, reference double-backprop
+    # semantics) or 'fwd' (linearize + 3 basis tangents). Measured on v5e
+    # (tools/bench_stage1_ab.py): fwd is a net loss embedded in the train step
+    # (54.2 vs 42.5 ms) — the 3 extra linear passes cost more than the
+    # VJP-of-VJP they avoid; 'rev' stays the default.
+    sdf_grad_mode: str = "rev"
     # fused Pallas SDF forward for no-grad paths (proposal sampler, occlusion
     # march) — TPU only, default topology only; ~2x XLA at occ-march batch sizes
     use_fused_sdf: bool = False
@@ -209,7 +224,8 @@ def sample_z_vals(params, scfg: ShapeConfig, rays_o, rays_d, near, far, key=None
 
 def compute_sdf_alpha(params, scfg: ShapeConfig, points, dists, dirs, cos_anneal_ratio, step):
     """NeuS alpha on the inner lattice. points [R,S,3]. Returns alpha, grads, feats, inv_s, sdf."""
-    sdf, feats, grads = sdf_with_grad(params["sdf"], points, scfg.sdf_cfg)
+    sdf, feats, grads = sdf_with_grad(params["sdf"], points, scfg.sdf_cfg,
+                                      mode=scfg.sdf_grad_mode)
     sdf = sdf[..., 0]
     inv_s = jnp.clip(variance_inv_s(params["variance"], scfg.std_act), 1e-6, 1e6)
     if scfg.freeze_inv_s_step is not None:
@@ -290,8 +306,21 @@ def render_core(params, scfg: ShapeConfig, fg_lut, rays_o, rays_d, z_full, human
     dirs = jnp.broadcast_to(rays_d[:, None, :], points.shape)
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
 
-    # --- background branch (all samples) ---
-    alpha_bg, color_bg = compute_density_alpha(params, points, dists, -dirs)
+    # --- background branch ---
+    if scfg.bg_on_inner:
+        # exact parity: background evaluated on the full lattice, selected by
+        # the inner mask below
+        alpha_bg, color_bg = compute_density_alpha(params, points, dists, -dirs)
+    else:
+        # fast path: background only on the n_bg outer samples — the inner z
+        # range is the unit-sphere chord, so inner samples outside the sphere
+        # are a boundary sliver with ~zero background density
+        alpha_out, color_out = compute_density_alpha(
+            params, points[:, s_inner:], dists[:, s_inner:], -dirs[:, s_inner:])
+        alpha_bg = jnp.concatenate(
+            [jnp.zeros((r, s_inner), alpha_out.dtype), alpha_out], axis=1)
+        color_bg = jnp.concatenate(
+            [jnp.zeros((r, s_inner, 3), color_out.dtype), color_out], axis=1)
 
     # --- inner SDF branch (first n_inner samples) ---
     pts_in = points[:, :s_inner]

@@ -1,0 +1,75 @@
+"""Stage-I step-time A/B over renderer variants.
+
+Variants:
+  base      : bg_on_inner=True  (exact reference parity: bg NeRF on full lattice)
+  bgfast    : bg_on_inner=False (bg only on outer samples; default)
+  fwdgrad   : bgfast + sdf_grad_mode='fwd' (jvp basis tangents instead of rev)
+
+Each variant times the full flagship train step (512 rays, full losses, occ
+branch active) exactly like bench.py. Prints one JSON line per variant.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_variant(name, extra_cfg):
+    import jax
+    import optax
+    import jax.numpy as jnp
+    from nero_tpu.models.shape import NeROShapeModel
+
+    cfg = {
+        "name": f"ab_{name}",
+        "network": "shape",
+        "database_name": "proc/sphere/128_16",
+        "train_ray_num": 512,
+        "occ_loss_step": 20000,
+        "loss": ["nerf_render", "eikonal", "std", "init_sdf_reg", "occ"],
+        "key_metric_name": "psnr",
+    }
+    cfg.update(extra_cfg)
+    model = NeROShapeModel(cfg, training=True)
+    opt = optax.adam(1e-3)
+    step_fn = model.make_train_step(opt, donate=False)
+    params = model.params
+    opt_state = opt.init(params)
+    data = model.train_data
+    key = jax.random.PRNGKey(0)
+    step_idx = jnp.asarray(25000)
+
+    for i in range(12):
+        params, opt_state, log = step_fn(params, opt_state,
+                                         jax.random.fold_in(key, i), step_idx, data)
+        if i % 4 == 3:
+            float(log["loss_total"])
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, opt_state, log = step_fn(params, opt_state,
+                                         jax.random.fold_in(key, 100 + i), step_idx, data)
+    float(log["loss_total"])
+    dt = time.perf_counter() - t0
+    step_s = dt / n_steps
+    print(json.dumps({
+        "variant": name, "step_ms": round(step_s * 1e3, 2),
+        "rays_per_sec": round(512 / step_s, 1),
+    }), flush=True)
+
+
+def main():
+    variants = [
+        ("base", {"bg_on_inner": True}),
+        ("bgfast", {"bg_on_inner": False}),
+        ("fwdgrad", {"bg_on_inner": False, "sdf_grad_mode": "fwd"}),
+    ]
+    for name, extra in variants:
+        bench_variant(name, extra)
+
+
+if __name__ == "__main__":
+    main()
