@@ -26,7 +26,7 @@ def bench_variant(name, extra_cfg):
         "name": f"ab_{name}",
         "network": "shape",
         "database_name": "proc/sphere/128_16",
-        "train_ray_num": 512,
+        "train_ray_num": extra_cfg.get("train_ray_num", 512),
         "occ_loss_step": 20000,
         "loss": ["nerf_render", "eikonal", "std", "init_sdf_reg", "occ"],
         "key_metric_name": "psnr",
@@ -57,16 +57,23 @@ def bench_variant(name, extra_cfg):
     step_s = dt / n_steps
     print(json.dumps({
         "variant": name, "step_ms": round(step_s * 1e3, 2),
-        "rays_per_sec": round(512 / step_s, 1),
+        "rays_per_sec": round(cfg["train_ray_num"] / step_s, 1),
     }), flush=True)
 
 
 def main():
-    variants = [
-        ("base", {"bg_on_inner": True}),
-        ("bgfast", {"bg_on_inner": False}),
-        ("fwdgrad", {"bg_on_inner": False, "sdf_grad_mode": "fwd"}),
-    ]
+    import sys as _sys
+    if len(_sys.argv) > 1 and _sys.argv[1] == "batch":
+        # ray-batch scaling sweep: occ_loss_max_pn scales with the batch as in
+        # the reference ratio (2048 per 512 rays)
+        variants = [(f"rays{n}", {"train_ray_num": n, "occ_loss_max_pn": 4 * n})
+                    for n in (512, 1024, 2048, 4096)]
+    else:
+        variants = [
+            ("base", {"bg_on_inner": True}),
+            ("bgfast", {"bg_on_inner": False}),
+            ("fwdgrad", {"bg_on_inner": False, "sdf_grad_mode": "fwd"}),
+        ]
     for name, extra in variants:
         bench_variant(name, extra)
 

@@ -19,7 +19,7 @@ N_STEPS = 30
 WARMUP = 8
 
 
-def timeit(fn, *args):
+def timeit(fn, *args, name=None):
     import jax.numpy as jnp
     acc = jnp.zeros(())
     for _ in range(WARMUP):
@@ -30,7 +30,10 @@ def timeit(fn, *args):
     for _ in range(N_STEPS):
         acc = fn(acc, *args)
     float(acc)
-    return (time.perf_counter() - t0) / N_STEPS * 1e3
+    ms = (time.perf_counter() - t0) / N_STEPS * 1e3
+    if name:
+        print(json.dumps({name: round(ms, 2)}), flush=True)
+    return ms
 
 
 def main():
@@ -50,12 +53,13 @@ def main():
         "key_metric_name": "psnr",
     }
     model = NeROShapeModel(cfg, training=True)
+    cfg = model.cfg  # defaults merged
     scfg, fg_lut = model.scfg, model.fg_lut
     params = model.params
     data = model.train_data
     key = jax.random.PRNGKey(0)
 
-    from nero_tpu.dataset.train_dataset import sample_ray_batch
+    from nero_tpu.render.rays import sample_ray_batch
     batch = jax.jit(lambda k: sample_ray_batch(
         k, data["imgs_u8"], data["K_inv"], data["poses"], data["human_poses"], 512))(key)
 
@@ -67,7 +71,7 @@ def main():
         z_in, z_out = sample_z_vals(params, scfg, ro, b["rays_d"], b["near"],
                                     b["far"], key=k, perturb=1.0)
         return acc + jnp.mean(z_in) * 1e-9
-    results["proposal_ms"] = timeit(proposal, params, batch, key)
+    results["proposal_ms"] = timeit(proposal, params, batch, key, name="proposal")
 
     def make_loss(step_val):
         step = jnp.asarray(step_val)
@@ -86,24 +90,24 @@ def main():
     @jax.jit
     def fwd_no_occ(acc, params, b, k):
         return acc + loss_pre(params, b, k) * 1e-9
-    results["fwd_no_occ_ms"] = timeit(fwd_no_occ, params, batch, key)
+    results["fwd_no_occ_ms"] = timeit(fwd_no_occ, params, batch, key, name="fwd_no_occ")
 
     @jax.jit
     def fwd_occ(acc, params, b, k):
         return acc + loss_post(params, b, k) * 1e-9
-    results["fwd_occ_ms"] = timeit(fwd_occ, params, batch, key)
+    results["fwd_occ_ms"] = timeit(fwd_occ, params, batch, key, name="fwd_occ")
 
     @jax.jit
     def grad_no_occ(acc, params, b, k):
         g = jax.grad(loss_pre)(params, b, k)
-        return acc + jnp.mean(g["variance"]["val"]) * 1e-9
-    results["grad_no_occ_ms"] = timeit(grad_no_occ, params, batch, key)
+        return acc + sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(g)) * 1e-9
+    results["grad_no_occ_ms"] = timeit(grad_no_occ, params, batch, key, name="grad_no_occ")
 
     @jax.jit
     def grad_occ(acc, params, b, k):
         g = jax.grad(loss_post)(params, b, k)
-        return acc + jnp.mean(g["variance"]["val"]) * 1e-9
-    results["grad_occ_ms"] = timeit(grad_occ, params, batch, key)
+        return acc + sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(g)) * 1e-9
+    results["grad_occ_ms"] = timeit(grad_occ, params, batch, key, name="grad_occ")
 
     opt = optax.adam(1e-3)
     step_fn = model.make_train_step(opt, donate=False)
