@@ -19,7 +19,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from nero_tpu.ops.mlp import apply_dense, init_dense, normal_weight, softplus_beta
+from nero_tpu.ops.mlp import (apply_dense, cast_hidden, init_dense,
+                              normal_weight, softplus_beta)
 from nero_tpu.utils.encodings import positional_encode, positional_encode_dim
 
 
@@ -87,14 +88,15 @@ def sdf_apply(params, x: jnp.ndarray, cfg: SDFConfig = SDFConfig()) -> jnp.ndarr
     """Full forward: [..., 3] -> [..., d_out] (sdf value first, then features)."""
     x = x * cfg.scale
     inputs = positional_encode(x, cfg.multires) if cfg.multires > 0 else x
-    h = inputs
+    h = cast_hidden(inputs)
     n_lin = len(params)
     for l in range(n_lin):
         if l == cfg.skip:
-            h = jnp.concatenate([h, inputs], axis=-1) / math.sqrt(2.0)
+            h = jnp.concatenate([h, cast_hidden(inputs)], axis=-1) / math.sqrt(2.0)
+            h = cast_hidden(h)
         h = apply_dense(params[l], h)
         if l < n_lin - 1:
-            h = softplus_beta(h, cfg.beta)
+            h = cast_hidden(softplus_beta(h, cfg.beta))
     return h
 
 

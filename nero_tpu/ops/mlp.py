@@ -17,11 +17,41 @@ fp32 even when activations are cast to bf16.
 """
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Hidden-activation storage dtype (trace-time context)
+#
+# TPU matmuls already consume bf16 operands under the default precision — but
+# the activation tensors XLA materialises in HBM stay f32, and the training
+# step is HBM-bound (saved activations + their cotangents dominate the
+# backward). Casting hidden activations to bf16 halves that traffic without
+# changing MXU input precision; accumulation stays f32 via
+# preferred_element_type. Entered around the hot render core
+# (render/shape.py `bf16_hidden`); None = keep f32.
+# ---------------------------------------------------------------------------
+
+_HIDDEN_DTYPE = [None]
+
+
+@contextlib.contextmanager
+def hidden_dtype(dtype):
+    _HIDDEN_DTYPE.append(dtype)
+    try:
+        yield
+    finally:
+        _HIDDEN_DTYPE.pop()
+
+
+def cast_hidden(x: jnp.ndarray) -> jnp.ndarray:
+    """Cast a hidden activation to the context storage dtype (no-op outside)."""
+    dt = _HIDDEN_DTYPE[-1]
+    return x if dt is None or x.dtype == dt else x.astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -120,9 +150,9 @@ def init_predictor(key, d_in: int, d_out: int, *, weight_norm: bool = True,
 
 def apply_predictor(layers, x: jnp.ndarray, activation: str = "sigmoid",
                     exp_max: float = 0.0) -> jnp.ndarray:
-    h = x
+    h = cast_hidden(x)
     for layer in layers[:-1]:
-        h = jax.nn.relu(apply_dense(layer, h))
+        h = cast_hidden(jax.nn.relu(apply_dense(layer, h)))
     h = apply_dense(layers[-1], h)
     if activation == "exp":
         return exp_activation(h, exp_max)
@@ -140,9 +170,9 @@ def init_mlp(key, dims: Sequence[int], *, weight_norm: bool = True):
 
 
 def apply_mlp(layers, x: jnp.ndarray, *, final_activation: bool = False) -> jnp.ndarray:
-    h = x
+    h = cast_hidden(x)
     for i, layer in enumerate(layers):
         h = apply_dense(layer, h)
         if i < len(layers) - 1 or final_activation:
-            h = jax.nn.relu(h)
+            h = cast_hidden(jax.nn.relu(h))
     return h

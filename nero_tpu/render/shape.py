@@ -32,6 +32,7 @@ from nero_tpu.fields.intersection import get_intersection
 from nero_tpu.fields.sdf import SDFConfig, init_sdf, sdf_value, sdf_with_grad
 from nero_tpu.fields.variance import init_variance, inv_s as variance_inv_s
 from nero_tpu.fields.app_shading import init_app_shading
+from nero_tpu.ops.mlp import hidden_dtype
 from nero_tpu.ops.sample_pdf import sample_pdf
 from nero_tpu.utils.color import linear_to_srgb
 
@@ -84,6 +85,15 @@ class ShapeConfig(NamedTuple):
     # fused Pallas SDF forward for no-grad paths (proposal sampler, occlusion
     # march) — TPU only, default topology only; ~2x XLA at occ-march batch sizes
     use_fused_sdf: bool = False
+    # store hidden MLP activations (SDF net + shader predictors) in bf16 inside
+    # the differentiated render core. MXU inputs are bf16 under the default
+    # matmul precision either way; this additionally halves the HBM traffic of
+    # the saved activations and their cotangents in the (HBM-bound) backward.
+    # f32 accumulation and f32 network outputs are unchanged. Measured: step
+    # 42.6 -> 39.0 ms; trained-checkpoint render delta +0.005 dB (51 dB
+    # render-vs-render agreement); 2.5k-step training from scratch reaches
+    # PSNR 36.9 vs 36.8 f32 — default on.
+    bf16_hidden: bool = True
 
     @property
     def n_inner(self) -> int:
@@ -294,6 +304,13 @@ def compute_occ_loss(params, scfg: ShapeConfig, key, points, reflective, occ_pro
 def render_core(params, scfg: ShapeConfig, fg_lut, rays_o, rays_d, z_full, human_poses,
                 cos_anneal_ratio, step, is_train: bool, key=None):
     """z_full [R, n_total] (inner z then bg z). Returns the outputs dict."""
+    with hidden_dtype(jnp.bfloat16 if scfg.bf16_hidden else None):
+        return _render_core(params, scfg, fg_lut, rays_o, rays_d, z_full,
+                            human_poses, cos_anneal_ratio, step, is_train, key=key)
+
+
+def _render_core(params, scfg: ShapeConfig, fg_lut, rays_o, rays_d, z_full, human_poses,
+                 cos_anneal_ratio, step, is_train: bool, key=None):
     r, s_total = z_full.shape
     s_inner = scfg.n_inner
 

@@ -74,6 +74,11 @@ def main():
             ("bgfast", {"bg_on_inner": False}),
             ("fwdgrad", {"bg_on_inner": False, "sdf_grad_mode": "fwd"}),
         ]
+    if len(_sys.argv) > 1 and _sys.argv[1] == "bf16":
+        variants = [
+            ("bf16_hidden", {"bf16_hidden": True}),
+            ("f32_hidden", {"bf16_hidden": False}),
+        ]
     for name, extra in variants:
         bench_variant(name, extra)
 

@@ -1,14 +1,23 @@
-"""Measure the PSNR delta of the bg_on_inner fast path on a trained checkpoint.
+"""Measure the PSNR delta of renderer config variants on a trained checkpoint.
 
-Loads the Stage-I bowl checkpoint (trained with full-lattice background
-semantics) and renders the validation view with bg_on_inner True vs False.
-The PSNR difference is the approximation error of skipping the background
-NeRF on the inner lattice.
+Loads the Stage-I bowl checkpoint and renders the validation view under each
+variant; reports PSNR vs gt and render-vs-render PSNR against the first
+variant. Used to gate fast-math renderer options (bg_on_inner, bf16_hidden)
+on real quality evidence rather than assumptions.
+
+Usage:
+  python tools/eval_bg_on_inner.py                 # bg_on_inner True vs False
+  python tools/eval_bg_on_inner.py bf16            # bf16_hidden off vs on
 """
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANT_SETS = {
+    "bg": [("bg_full", {"bg_on_inner": True}), ("bg_outer_only", {"bg_on_inner": False})],
+    "bf16": [("f32_hidden", {"bf16_hidden": False}), ("bf16_hidden", {"bf16_hidden": True})],
+}
 
 
 def main():
@@ -18,31 +27,32 @@ def main():
     from nero_tpu.utils.image import compute_psnr
     import numpy as np
 
+    which = sys.argv[1] if len(sys.argv) > 1 else "bg"
+    variants = VARIANT_SETS[which]
+
     ckpt = "data/demo_bowl/model/demo_shape/model.npz"
     base_cfg = {
-        "name": "eval_bg", "network": "shape",
+        "name": "eval_variant", "network": "shape",
         "database_name": "proc/bowl/100_12",
         "loss": ["nerf_render"], "key_metric_name": "psnr",
         "downsample_ratio": 0.5,
     }
-    imgs = {}
-    gt = None
-    for bg_on_inner in (True, False):
-        cfg = dict(base_cfg, bg_on_inner=bg_on_inner)
+    ref = None
+    for name, extra in variants:
+        cfg = dict(base_cfg, **extra)
         model = NeROShapeModel(cfg, training=True)
         _, _, params, _ = load_checkpoint(ckpt, model.params)
         out = model.test_step(params, 0, step=30000)
         gt = color_map_backward(np.asarray(out["gt_rgb"]))
         pred = color_map_backward(np.asarray(out["ray_rgb"]))
         psnr = compute_psnr(gt, pred)
-        imgs[bg_on_inner] = pred
-        print(f"bg_on_inner={bg_on_inner}: PSNR vs gt = {psnr:.4f}", flush=True)
-    # direct image-vs-image delta between the two renders
-    x = imgs[True].astype(np.float64)
-    y = imgs[False].astype(np.float64)
-    mse = np.mean((x - y) ** 2)
-    print(f"render-vs-render PSNR = {10 * np.log10(255.0 ** 2 / max(mse, 1e-12)):.2f} dB, "
-          f"max |delta| = {np.abs(x - y).max():.1f}/255")
+        print(f"{name}: PSNR vs gt = {psnr:.4f}", flush=True)
+        if ref is None:
+            ref = pred.astype(np.float64)
+        else:
+            mse = np.mean((pred.astype(np.float64) - ref) ** 2)
+            print(f"render-vs-render PSNR = {10 * np.log10(255.0 ** 2 / max(mse, 1e-12)):.2f} dB, "
+                  f"max |delta| = {np.abs(pred - ref).max():.1f}/255")
 
 
 if __name__ == "__main__":
