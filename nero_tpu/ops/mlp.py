@@ -102,6 +102,26 @@ def apply_dense(params, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     return y + params["b"]
 
 
+def resolve_weight_norm(params):
+    """Materialise weight-norm layers ({v,g,b} -> {w,b}) across a param tree.
+
+    Keeps the differentiated hot graph as plain matmuls; the chain rule back
+    to {v,g} flows through this tiny transform. Measured step-time neutral on
+    v5e (XLA already hoists the loop-invariant norm), but it guarantees the
+    hoist in every context (vmap'd multi-scene, pallas packing) and makes the
+    compiled graph easier to reason about.
+    """
+    if isinstance(params, dict):
+        if "v" in params and "g" in params:
+            v = params["v"]
+            norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+            return {"w": params["g"] * v / jnp.maximum(norm, 1e-12), "b": params["b"]}
+        return {k: resolve_weight_norm(x) for k, x in params.items()}
+    if isinstance(params, (list, tuple)):
+        return type(params)(resolve_weight_norm(x) for x in params)
+    return params
+
+
 def set_final_bias(params_seq, value: float):
     """Overwrite the bias of the last dense layer in a layer list (in place on the tree copy)."""
     params_seq = list(params_seq)

@@ -32,7 +32,7 @@ from nero_tpu.fields.intersection import get_intersection
 from nero_tpu.fields.sdf import SDFConfig, init_sdf, sdf_value, sdf_with_grad
 from nero_tpu.fields.variance import init_variance, inv_s as variance_inv_s
 from nero_tpu.fields.app_shading import init_app_shading
-from nero_tpu.ops.mlp import hidden_dtype
+from nero_tpu.ops.mlp import hidden_dtype, resolve_weight_norm
 from nero_tpu.ops.sample_pdf import sample_pdf
 from nero_tpu.utils.color import linear_to_srgb
 
@@ -185,6 +185,13 @@ def _upsample_z(rays_o, rays_d, z_vals, sdf, n_new, inv_s):
 def sample_z_vals(params, scfg: ShapeConfig, rays_o, rays_d, near, far, key=None,
                   perturb: float = 1.0):
     """Inner z values [R, n_inner] + background z values [R, n_bg]; detached."""
+    with hidden_dtype(jnp.bfloat16 if scfg.bf16_hidden else None):
+        return _sample_z_vals(params, scfg, rays_o, rays_d, near, far,
+                              key=key, perturb=perturb)
+
+
+def _sample_z_vals(params, scfg: ShapeConfig, rays_o, rays_d, near, far, key=None,
+                   perturb: float = 1.0):
     r = rays_o.shape[0]
     sn = scfg.n_samples
     z = jnp.linspace(0.0, 1.0, sn, dtype=rays_o.dtype)
@@ -416,6 +423,9 @@ def render(params, scfg: ShapeConfig, fg_lut, rays_o, rays_d, near, far, human_p
            step, key=None, is_train: bool = True, perturb_overwrite: float = -1.0,
            cos_anneal_ratio=None):
     """Full Stage-I render of a ray batch. step may be a traced scalar."""
+    # materialise weight-norm once; keeps the differentiated graph as plain
+    # matmuls (autodiff chains back to {v,g} through this tiny transform)
+    params = resolve_weight_norm(params)
     perturb = scfg.perturb if perturb_overwrite < 0 else perturb_overwrite
     if cos_anneal_ratio is None:
         if scfg.anneal_end < 0:

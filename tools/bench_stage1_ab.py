@@ -79,6 +79,11 @@ def main():
             ("bf16_hidden", {"bf16_hidden": True}),
             ("f32_hidden", {"bf16_hidden": False}),
         ]
+    if len(_sys.argv) > 1 and _sys.argv[1] == "round2":
+        variants = [
+            ("default", {}),
+            ("fused_sdf", {"use_fused_sdf": True}),
+        ]
     for name, extra in variants:
         bench_variant(name, extra)
 
