@@ -24,8 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from nero_tpu.fields.app_shading import get_camera_plane_intersection
-from nero_tpu.ops.mlp import (apply_dense, apply_predictor, init_dense,
-                              init_predictor)
+from nero_tpu.ops.mlp import (apply_dense, apply_predictor, hidden_dtype,
+                              init_dense, init_predictor, resolve_weight_norm)
 from nero_tpu.utils.color import linear_to_srgb
 from nero_tpu.utils.encodings import (ide_dim, integrated_dir_encode,
                                       integrated_pos_encode, positional_encode,
@@ -50,6 +50,10 @@ class MCShadingConfig(NamedTuple):
     random_azimuth: bool = True
     is_real: bool = False
     ide_deg: int = 5
+    # store hidden MLP activations in bf16 (see render/shape.py bf16_hidden —
+    # the Stage-II light/material MLPs run on [pts x sample_dirs] batches where
+    # activation HBM traffic dominates; f32 accumulation/outputs unchanged)
+    bf16_hidden: bool = True
 
 
 def mc_config_from_dict(cfg: dict) -> MCShadingConfig:
@@ -389,12 +393,14 @@ def shade_mixed(params, cfg: MCShadingConfig, samples, trace_fn, pts, normals,
 def mc_shading_apply(params, cfg: MCShadingConfig, samples, trace_fn, pts,
                      view_dirs, normals, human_poses, key=None):
     """Full Stage-II shading (reference field.py:1014-1018)."""
-    view_dirs = view_dirs / jnp.maximum(jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-12)
-    normals = normals / jnp.maximum(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
-    reflections = jnp.sum(view_dirs * normals, -1, keepdims=True) * normals * 2 - view_dirs
-    metallic, roughness, albedo = predict_materials_mc(params, pts)
-    return shade_mixed(params, cfg, samples, trace_fn, pts, normals, view_dirs,
-                       reflections, metallic, roughness, albedo, human_poses, key)
+    params = resolve_weight_norm(params)
+    with hidden_dtype(jnp.bfloat16 if cfg.bf16_hidden else None):
+        view_dirs = view_dirs / jnp.maximum(jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-12)
+        normals = normals / jnp.maximum(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+        reflections = jnp.sum(view_dirs * normals, -1, keepdims=True) * normals * 2 - view_dirs
+        metallic, roughness, albedo = predict_materials_mc(params, pts)
+        return shade_mixed(params, cfg, samples, trace_fn, pts, normals, view_dirs,
+                           reflections, metallic, roughness, albedo, human_poses, key)
 
 
 # ---------------------------------------------------------------------------
