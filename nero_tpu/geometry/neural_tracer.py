@@ -137,7 +137,7 @@ def distill_field(vertices, triangles, bvh_np, *, width=128, depth=4, pe=6,
 
 @partial(jax.jit, static_argnames=("n_coarse", "n_refine", "use_fused"))
 def neural_trace(params, packed, rays_o, rays_d, bound: float, far=10.0,
-                 n_coarse: int = 48, n_refine: int = 8, t0: float = 0.012,
+                 n_coarse: int = 32, n_refine: int = 8, t0: float = 0.012,
                  use_fused: bool = False):
     """March the field, find the first +->- sign change, bisect, grad normal.
 
@@ -204,13 +204,19 @@ class NeuralTracer:
     """RayTracer-compatible tracer: distilled SDF field + matmul marching.
 
     trace(rays_o, rays_d) -> (inters, normals (inward), depth [R,1], hit);
-    miss => depth == far. Exact host BVH retained for precompute passes."""
+    miss => depth == far. Exact host BVH retained for precompute passes.
+
+    n_coarse=32 default from tools/sweep_march_samples.py: on the concave
+    multi-component mesh, clearing-ray hit agreement vs the exact BVH is flat
+    in march resolution (0.9844 @48 / 0.9834 @32 / 0.9812 @16) — the distilled
+    field itself, not the sampling, is the accuracy floor — so the march takes
+    the -29%% eval-count point that keeps margin over the 0.98 test bar."""
 
     CACHE_DIR = "data/cache/neural_tracer"
 
     def __init__(self, vertices: np.ndarray, triangles: np.ndarray,
                  far: float = 10.0, width: int = 128, depth: int = 4,
-                 pe: int = 6, distill_steps: int = 3000, n_coarse: int = 48,
+                 pe: int = 6, distill_steps: int = 3000, n_coarse: int = 32,
                  n_refine: int = 8, seed: int = 0, verbose: bool = True,
                  use_fused: bool | None = None, cache: bool = True,
                  distill_samples: int = 1_500_000, distill_batch: int = 65536):

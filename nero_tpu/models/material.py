@@ -55,6 +55,7 @@ DEFAULT_MATERIAL_CFG = {
     # XLA wavefront; slow on TPU, useful for small meshes/debug)
     "tracer": "neural",
     "tracer_distill_steps": 3000,
+    "tracer_n_coarse": 32,
     # if the distilled field's near-band RMS exceeds this, the mesh is too
     # hard for the neural tracer — fall back to the exact grid tracer and say
     # so loudly (visibility errors silently poison Stage-II otherwise)
@@ -88,6 +89,7 @@ class NeROMaterialModel:
             self.ray_tracer = NeuralTracer(
                 self.vertices, self.triangles,
                 distill_steps=self.cfg["tracer_distill_steps"],
+                n_coarse=self.cfg["tracer_n_coarse"],
                 seed=self.cfg["random_seed"])
             threshold = self.cfg["tracer_rms_fallback"]
             if self.ray_tracer.distill_rms > threshold:
