@@ -14,6 +14,10 @@ from tests.test_shape_e2e import TINY_CFG
 def test_sharded_step_matches_single_device():
     cfg = dict(TINY_CFG)
     cfg["train_ray_num"] = 64
+    # This test checks sharding correctness via near-bitwise parity; bf16
+    # hidden activations make 8-way reduction order visible in the grads,
+    # which Adam amplifies to ~2x lr on near-zero-grad params. Pin f32.
+    cfg["bf16_hidden"] = False
 
     mesh8 = make_data_mesh(jax.devices()[:8])
     mesh1 = make_data_mesh(jax.devices()[:1])

@@ -84,6 +84,12 @@ def main():
             ("default", {}),
             ("fused_sdf", {"use_fused_sdf": True}),
         ]
+    if len(_sys.argv) > 1 and _sys.argv[1] == "topk":
+        variants = [
+            ("k0_full", {"shade_top_k": 0}),
+            ("k48", {"shade_top_k": 48}),
+            ("k32", {"shade_top_k": 32}),
+        ]
     for name, extra in variants:
         bench_variant(name, extra)
 
