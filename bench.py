@@ -14,10 +14,13 @@ this sandbox, so the denominator is a DERIVED ESTIMATE, stated openly:
   (reference network/renderer.py:84-92, configs/shape/syn/bell.yaml:30-34);
   NeuS-class renderers of this shape are commonly reported around ~4 steps/s
   on an A100 — 0.25 s/step x 512 rays => 2048 rays/s.
-A measured same-host cross-check (reference torch code vs this repo, both on
-this container's CPU) is reported in BASELINE.md when available; the estimate
-is kept as the stable denominator so vs_baseline stays comparable across
-rounds. See VERDICT.md round-1 item 8 discussion.
+A measured same-host cross-check now exists (round 2): the reference's OWN
+torch Stage-I step, imported from /root/reference and monkeypatched onto this
+host's CPU, runs at 10.27 s/step = 49.9 rays/s on the identical exported
+scene and ray count (tools/bench_reference_cpu.py; BASELINE.md "Measured
+same-host cross-check"). The 2,048 rays/s A100 estimate stays as the stable
+denominator so vs_baseline remains comparable across rounds, but it is now
+anchored by a measurement rather than assumption alone.
 """
 import json
 import time

@@ -57,8 +57,12 @@ class MCShadingConfig(NamedTuple):
 
 
 def mc_config_from_dict(cfg: dict) -> MCShadingConfig:
-    fields = MCShadingConfig._fields
-    return MCShadingConfig(**{k: v for k, v in cfg.items() if k in fields})
+    fields = {k: v for k, v in cfg.items() if k in MCShadingConfig._fields}
+    if "bf16_hidden" not in cfg:
+        # TPU-only default: XLA:CPU emulates bf16 ~10x slower end to end
+        from nero_tpu.render.shape import _on_tpu
+        fields["bf16_hidden"] = _on_tpu()
+    return MCShadingConfig(**fields)
 
 
 # ---------------------------------------------------------------------------

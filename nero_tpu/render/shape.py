@@ -125,6 +125,11 @@ class ShapeConfig(NamedTuple):
 def shape_config_from_dict(cfg: dict) -> ShapeConfig:
     fields = {k: v for k, v in cfg.items() if k in ShapeConfig._fields}
     fields["shader"] = shading_config_from_dict(cfg.get("shader_config", {}))
+    if "bf16_hidden" not in cfg:
+        # bf16 hidden activations are a TPU bandwidth optimisation; XLA:CPU
+        # emulates bf16 element-wise (measured ~10x slower end to end), so
+        # the default only applies on TPU unless explicitly configured
+        fields["bf16_hidden"] = _on_tpu()
     scfg = ShapeConfig(**fields)
     # NOTE: fused-SDF stays opt-in — measured 2x faster in isolation at
     # occ-march batch sizes, but a net ~10% step regression when embedded
@@ -134,11 +139,15 @@ def shape_config_from_dict(cfg: dict) -> ShapeConfig:
     return scfg
 
 
-def _fused_sdf_supported(scfg: "ShapeConfig") -> bool:
+def _on_tpu() -> bool:
     try:
-        if jax.default_backend() != "tpu":
-            return False
+        return jax.default_backend() == "tpu"
     except Exception:
+        return False
+
+
+def _fused_sdf_supported(scfg: "ShapeConfig") -> bool:
+    if not _on_tpu():
         return False
     c = scfg.sdf_cfg
     return (c.n_layers == 8 and c.d_hidden == 256 and c.multires > 0
