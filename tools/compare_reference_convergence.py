@@ -27,6 +27,9 @@ def save(key, curve, meta):
         with open(OUT) as f:
             data = json.load(f)
     data[key] = {"loss_rgb": curve, **meta}
+    # drop raw curves over 2k points to keep the json reviewable
+    if len(curve) > 2000:
+        data[key]["loss_rgb"] = curve[:: len(curve) // 2000]
     with open(OUT, "w") as f:
         json.dump(data, f, indent=1)
     print(json.dumps({key: meta}))
@@ -96,15 +99,17 @@ def run_reference(scene, rays, n_steps):
                               "wall_s": round(time.time() - t0, 1)})
 
 
-def run_ours(rays, n_steps):
-    os.environ["JAX_PLATFORMS"] = "cpu"
+def run_ours(rays, n_steps, platform=None):
     import time
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.abspath("tests/.jax_compile_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if platform:
+        os.environ["JAX_PLATFORMS"] = platform
+        jax.config.update("jax_platforms", platform)
+    if jax.default_backend() != "tpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath("tests/.jax_compile_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     import optax
     from nero_tpu.models.shape import NeROShapeModel
@@ -138,11 +143,16 @@ def main():
     parser.add_argument("--which", choices=["ref", "ours"], required=True)
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--rays", type=int, default=512)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform for --which ours (e.g. cpu);"
+                             " default = whatever the session provides (TPU "
+                             "under axon) — per-step learning is hardware-"
+                             "independent")
     flags = parser.parse_args()
     if flags.which == "ref":
         run_reference("proc_sphere", flags.rays, flags.steps)
     else:
-        run_ours(flags.rays, flags.steps)
+        run_ours(flags.rays, flags.steps, flags.platform)
 
 
 if __name__ == "__main__":
