@@ -245,13 +245,18 @@ def _sample_z_vals(params, scfg: ShapeConfig, rays_o, rays_d, near, far, key=Non
         else:
             inv_s_i = jnp.asarray(64.0 * 2 ** i, rays_o.dtype)
         new_z = _upsample_z(rays_o, rays_d, z_vals, sdf, n_new, inv_s_i)
-        z_vals = jnp.concatenate([z_vals, new_z], axis=-1)
-        order = jnp.argsort(z_vals, axis=-1)
-        z_vals = jnp.take_along_axis(z_vals, order, axis=-1)
         if i + 1 < scfg.up_sample_steps:
             new_pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z[..., None]
             new_sdf = sdf_fn(new_pts)[..., 0]
-            sdf = jnp.take_along_axis(jnp.concatenate([sdf, new_sdf], axis=-1), order, axis=-1)
+            # one multi-operand sort keys (z, sdf) together — replaces
+            # argsort + two take_along_axis gathers per round
+            z_vals, sdf = jax.lax.sort(
+                (jnp.concatenate([z_vals, new_z], axis=-1),
+                 jnp.concatenate([sdf, new_sdf], axis=-1)),
+                dimension=-1, num_keys=1)
+        else:
+            z_vals = jax.lax.sort(jnp.concatenate([z_vals, new_z], axis=-1),
+                                  dimension=-1)
 
     return jax.lax.stop_gradient(z_vals), jax.lax.stop_gradient(z_vals_outside)
 
