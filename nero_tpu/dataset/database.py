@@ -393,8 +393,8 @@ def get_database_split(database: BaseDatabase, split_type: str = "validation"):
         return img_ids[1:], img_ids[:1]
     if split_type == "test":
         # repo-root anchored so CLIs work from any cwd
-        split_path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), "configs", "synthetic_split_128.pkl")
+        from nero_tpu.core.paths import repo_path
+        split_path = repo_path("configs", "synthetic_split_128.pkl")
         test_ids, train_ids = read_pickle(split_path)
         return train_ids, test_ids
     raise NotImplementedError(split_type)

@@ -52,16 +52,22 @@ class MCShadingConfig(NamedTuple):
     ide_deg: int = 5
     # store hidden MLP activations in bf16 (see render/shape.py bf16_hidden —
     # the Stage-II light/material MLPs run on [pts x sample_dirs] batches where
-    # activation HBM traffic dominates; f32 accumulation/outputs unchanged)
-    bf16_hidden: bool = True
+    # activation HBM traffic dominates; f32 accumulation/outputs unchanged).
+    # None = auto (on iff the backend is TPU — XLA:CPU emulates bf16 ~10x
+    # slower); resolved in ONE place, `hidden_act_dtype`, so direct
+    # construction and from_dict agree.
+    bf16_hidden: bool | None = None
+
+    @property
+    def hidden_act_dtype(self):
+        import jax.numpy as _jnp
+        from nero_tpu.render.shape import _on_tpu
+        on = _on_tpu() if self.bf16_hidden is None else self.bf16_hidden
+        return _jnp.bfloat16 if on else None
 
 
 def mc_config_from_dict(cfg: dict) -> MCShadingConfig:
     fields = {k: v for k, v in cfg.items() if k in MCShadingConfig._fields}
-    if "bf16_hidden" not in cfg:
-        # TPU-only default: XLA:CPU emulates bf16 ~10x slower end to end
-        from nero_tpu.render.shape import _on_tpu
-        fields["bf16_hidden"] = _on_tpu()
     return MCShadingConfig(**fields)
 
 
@@ -398,7 +404,7 @@ def mc_shading_apply(params, cfg: MCShadingConfig, samples, trace_fn, pts,
                      view_dirs, normals, human_poses, key=None):
     """Full Stage-II shading (reference field.py:1014-1018)."""
     params = resolve_weight_norm(params)
-    with hidden_dtype(jnp.bfloat16 if cfg.bf16_hidden else None):
+    with hidden_dtype(cfg.hidden_act_dtype):
         view_dirs = view_dirs / jnp.maximum(jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-12)
         normals = normals / jnp.maximum(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
         reflections = jnp.sum(view_dirs * normals, -1, keepdims=True) * normals * 2 - view_dirs

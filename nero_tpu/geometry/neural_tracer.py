@@ -212,7 +212,11 @@ class NeuralTracer:
     field itself, not the sampling, is the accuracy floor — so the march takes
     the -29%% eval-count point that keeps margin over the 0.98 test bar."""
 
-    CACHE_DIR = "data/cache/neural_tracer"
+    # repo-root anchored (like the dataset split path): CLIs running from
+    # another cwd must hit the same distill cache, not re-distill per-cwd
+    from nero_tpu.core.paths import repo_path as _repo_path
+    CACHE_DIR = _repo_path("data", "cache", "neural_tracer")
+    del _repo_path
 
     def __init__(self, vertices: np.ndarray, triangles: np.ndarray,
                  far: float = 10.0, width: int = 128, depth: int = 4,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import contextlib
 import math
+import threading
 from typing import Sequence
 
 import jax
@@ -36,21 +37,30 @@ import jax.numpy as jnp
 # (render/shape.py `bf16_hidden`); None = keep f32.
 # ---------------------------------------------------------------------------
 
-_HIDDEN_DTYPE = [None]
+_HIDDEN_DTYPE = threading.local()  # per-thread stack: concurrent traces
+                                   # (async ckpt, parallel jit warmup) must not
+                                   # leak casts into each other's graphs
+
+
+def _stack():
+    if not hasattr(_HIDDEN_DTYPE, "stack"):
+        _HIDDEN_DTYPE.stack = [None]
+    return _HIDDEN_DTYPE.stack
 
 
 @contextlib.contextmanager
 def hidden_dtype(dtype):
-    _HIDDEN_DTYPE.append(dtype)
+    s = _stack()
+    s.append(dtype)
     try:
         yield
     finally:
-        _HIDDEN_DTYPE.pop()
+        s.pop()
 
 
 def cast_hidden(x: jnp.ndarray) -> jnp.ndarray:
     """Cast a hidden activation to the context storage dtype (no-op outside)."""
-    dt = _HIDDEN_DTYPE[-1]
+    dt = _stack()[-1]
     return x if dt is None or x.dtype == dt else x.astype(dt)
 
 

@@ -117,7 +117,11 @@ def run_ours(rays, n_steps, platform=None):
     cfg = {"name": "conv_ours", "network": "shape",
            "database_name": "proc/sphere/100_12", "train_ray_num": rays,
            "loss": ["nerf_render", "eikonal", "std", "init_sdf_reg"],
-           "key_metric_name": "psnr"}
+           "key_metric_name": "psnr",
+           # head-to-head parity: evaluate the background NeRF on the inner
+           # lattice exactly like the reference render equation
+           # (renderer.py:567-572); the fast default skips it (~0.04 dB)
+           "bg_on_inner": True}
     model = NeROShapeModel(cfg, training=True)
     opt = optax.adam(1e-3)
     step_fn = model.make_train_step(opt, donate=False)
