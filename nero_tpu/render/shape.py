@@ -104,8 +104,15 @@ class ShapeConfig(NamedTuple):
     # f32 accumulation and f32 network outputs are unchanged. Measured: step
     # 42.6 -> 39.0 ms; trained-checkpoint render delta +0.005 dB (51 dB
     # render-vs-render agreement); 2.5k-step training from scratch reaches
-    # PSNR 36.9 vs 36.8 f32 — default on.
-    bf16_hidden: bool = True
+    # PSNR 36.9 vs 36.8 f32 — default on for TPU. None = auto (on iff the
+    # backend is TPU; XLA:CPU emulates bf16 ~10x slower), resolved in ONE
+    # place (`hidden_act_dtype`) so direct construction and from_dict agree.
+    bf16_hidden: bool | None = None
+
+    @property
+    def hidden_act_dtype(self):
+        on = _on_tpu() if self.bf16_hidden is None else self.bf16_hidden
+        return jnp.bfloat16 if on else None
 
     @property
     def n_inner(self) -> int:
@@ -125,11 +132,6 @@ class ShapeConfig(NamedTuple):
 def shape_config_from_dict(cfg: dict) -> ShapeConfig:
     fields = {k: v for k, v in cfg.items() if k in ShapeConfig._fields}
     fields["shader"] = shading_config_from_dict(cfg.get("shader_config", {}))
-    if "bf16_hidden" not in cfg:
-        # bf16 hidden activations are a TPU bandwidth optimisation; XLA:CPU
-        # emulates bf16 element-wise (measured ~10x slower end to end), so
-        # the default only applies on TPU unless explicitly configured
-        fields["bf16_hidden"] = _on_tpu()
     scfg = ShapeConfig(**fields)
     # NOTE: fused-SDF stays opt-in — measured 2x faster in isolation at
     # occ-march batch sizes, but a net ~10% step regression when embedded
@@ -206,7 +208,7 @@ def _upsample_z(rays_o, rays_d, z_vals, sdf, n_new, inv_s):
 def sample_z_vals(params, scfg: ShapeConfig, rays_o, rays_d, near, far, key=None,
                   perturb: float = 1.0):
     """Inner z values [R, n_inner] + background z values [R, n_bg]; detached."""
-    with hidden_dtype(jnp.bfloat16 if scfg.bf16_hidden else None):
+    with hidden_dtype(scfg.hidden_act_dtype):
         return _sample_z_vals(params, scfg, rays_o, rays_d, near, far,
                               key=key, perturb=perturb)
 
@@ -305,26 +307,34 @@ def _composite(alpha):
 
 def compute_occ_loss(params, scfg: ShapeConfig, key, points, reflective, occ_prob,
                      sdf, grads, dirs, step):
-    """Fixed-shape occlusion-probability supervision (reference renderer.py:522-548)."""
-    m = points.shape[0] * points.shape[1]
-    pts = points.reshape(m, 3)
-    refl = reflective.reshape(m, 3)
-    occ = occ_prob.reshape(m)
-    sdf_f = sdf.reshape(m)
-    grads_f = grads.reshape(m, 3)
-    dirs_f = dirs.reshape(m, 3)
+    """Fixed-shape occlusion-probability supervision (reference renderer.py:522-548).
 
-    mask = ((jnp.linalg.norm(pts, axis=-1) < 0.999)
-            & (jnp.abs(sdf_f) < scfg.occ_sdf_thresh)
-            & (jnp.sum(grads_f * dirs_f, axis=-1) < 0.0))
-    score = jnp.where(mask, jax.random.uniform(key, (m,)), -1.0)
-    k = min(scfg.occ_loss_max_pn, m)
-    top_vals, top_idx = jax.lax.top_k(score, k)
-    valid = top_vals > 0.0
+    Candidate selection is SEGMENTED per ray: each ray contributes its top
+    k' = max_pn // R masked candidates (random scores), instead of one global
+    top-k over all R*S flattened samples. A global top_k lowers to a full-array
+    sort on TPU, so its cost grew superlinearly with the ray batch (the
+    round-2 batch-scaling bottleneck: 12.1k rays/s @512 -> 9.7k @4096); the
+    per-row top_k over S=128 is linear in R. The selected set differs from the
+    reference's uniform global subsample only in spreading supervision evenly
+    across rays (dense rays are capped at k' points), which is
+    distribution-neutral for the masked-mean L1 target.
+    """
+    r, s = points.shape[:2]
+    mask = ((jnp.linalg.norm(points, axis=-1) < 0.999)
+            & (jnp.abs(sdf) < scfg.occ_sdf_thresh)
+            & (jnp.sum(grads * dirs, axis=-1) < 0.0))                   # [R,S]
+    score = jnp.where(mask, jax.random.uniform(key, (r, s)), -1.0)
+    kpr = max(1, min(scfg.occ_loss_max_pn // r, s))
+    top_vals, top_idx = jax.lax.top_k(score, kpr)                       # [R,kpr]
+    valid = (top_vals > 0.0).reshape(-1)
 
-    pts_k = pts[top_idx]
-    refl_k = refl[top_idx]
-    occ_k = occ[top_idx]
+    # one-hot matmul gather (see shade_compact): keeps the occ_prob gather and
+    # its VJP on the MXU with no scatter
+    onehot = (top_idx[:, :, None] ==
+              jnp.arange(s)[None, None, :]).astype(points.dtype)        # [R,kpr,S]
+    pts_k = jnp.einsum("rks,rsc->rkc", onehot, points).reshape(r * kpr, 3)
+    refl_k = jnp.einsum("rks,rsc->rkc", onehot, reflective).reshape(r * kpr, 3)
+    occ_k = jnp.einsum("rks,rs->rk", onehot, occ_prob).reshape(r * kpr)
 
     inv_s = variance_inv_s(params["variance"], scfg.std_act)
     sdf_fun = make_nograd_sdf_fn(params, scfg)
@@ -337,7 +347,7 @@ def compute_occ_loss(params, scfg: ShapeConfig, key, points, reflective, occ_pro
 def render_core(params, scfg: ShapeConfig, fg_lut, rays_o, rays_d, z_full, human_poses,
                 cos_anneal_ratio, step, is_train: bool, key=None):
     """z_full [R, n_total] (inner z then bg z). Returns the outputs dict."""
-    with hidden_dtype(jnp.bfloat16 if scfg.bf16_hidden else None):
+    with hidden_dtype(scfg.hidden_act_dtype):
         return _render_core(params, scfg, fg_lut, rays_o, rays_d, z_full,
                             human_poses, cos_anneal_ratio, step, is_train, key=key)
 

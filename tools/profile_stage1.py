@@ -45,10 +45,12 @@ def main():
     from nero_tpu.render.shape import (render, sample_z_vals, compute_rgb_loss)
     from nero_tpu.train.losses import compute_losses, total_loss
 
+    rays = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     cfg = {
         "name": "profile_stage1", "network": "shape",
         "database_name": "proc/sphere/128_16",
-        "train_ray_num": 512, "occ_loss_step": 20000,
+        "train_ray_num": rays, "occ_loss_step": 20000,
+        "occ_loss_max_pn": 4 * rays,
         "loss": ["nerf_render", "eikonal", "std", "init_sdf_reg", "occ"],
         "key_metric_name": "psnr",
     }
@@ -61,7 +63,7 @@ def main():
 
     from nero_tpu.render.rays import sample_ray_batch
     batch = jax.jit(lambda k: sample_ray_batch(
-        k, data["imgs_u8"], data["K_inv"], data["poses"], data["human_poses"], 512))(key)
+        k, data["imgs_u8"], data["K_inv"], data["poses"], data["human_poses"], rays))(key)
 
     results = {}
 
