@@ -1,23 +1,30 @@
-"""Multi-scene batched Stage-I training: one scene per mesh shard.
+"""Multi-scene batched Stage-I training: scene x ray parallelism in one program.
 
 A TPU-native capability with no reference counterpart (SURVEY.md §2.3): the
 reference trains one scene per GPU process; here S independent scenes train
-simultaneously on one jitted program — parameters, optimizer state, and
-datasets all carry a leading scene axis sharded across the device mesh, and
-the per-scene train step is vmapped over that axis. No collectives are
-needed (scenes are independent), so each device advances its scene at full
-local throughput; with S == n_devices this is embarrassingly-parallel
-fleet training of e.g. the whole GlossySynthetic config family.
+simultaneously in ONE jitted program — parameters, optimizer state, and
+datasets all carry a leading scene axis, and the per-scene train step is
+vmapped over that axis.
+
+Two mesh shapes are supported:
+  * 1-D ('data',) mesh, S == n_devices: one scene per device (round-2 mode).
+    No collectives at all — each device advances its scene independently.
+  * 2-D ('scene', 'data') mesh (parallel.mesh.make_scene_mesh): scenes shard
+    the outer axis and each scene's RAY batch additionally shards over the
+    inner 'data' axis. The scene axis is attached with
+    `jax.vmap(..., spmd_axis_name='scene')`, so the in-step ray sharding
+    constraints (P('data')) batch to P('scene', 'data') — one program,
+    combined partitioning, per-scene gradient all-reduce riding only the
+    inner axis groups (scenes never communicate).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from nero_tpu.models.shape import NeROShapeModel
-from nero_tpu.parallel.mesh import DATA_AXIS, make_data_mesh
+from nero_tpu.parallel.mesh import (SCENE_AXIS, make_data_mesh, scene_sharding)
 
 
 class MultiSceneShapeModel:
@@ -30,11 +37,13 @@ class MultiSceneShapeModel:
     def __init__(self, cfgs: list[dict], mesh=None, training: bool = True):
         assert len(cfgs) >= 1
         self.mesh = mesh if mesh is not None else make_data_mesh()
+        self.scene_parallel = SCENE_AXIS in self.mesh.axis_names
         self.models = []
         for s, cfg in enumerate(cfgs):
             cfg = dict(cfg)
             cfg["random_seed"] = cfg.get("random_seed", 6033) + s
-            # scenes are independent; rays stay local to each scene's shard
+            # on a ('scene','data') mesh each scene's rays also shard over the
+            # inner data axis; on a 1-D mesh rays stay local to the shard
             self.models.append(NeROShapeModel(cfg, training=training, mesh=self.mesh))
         self.n_scenes = len(self.models)
 
@@ -44,7 +53,7 @@ class MultiSceneShapeModel:
             self.train_data = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *[m.train_data for m in self.models])
 
-        self._scene_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._scene_sharding = scene_sharding(self.mesh)
 
     def shard_over_scenes(self, tree):
         """Place the leading scene axis of every leaf across the mesh."""
@@ -53,10 +62,16 @@ class MultiSceneShapeModel:
 
     def make_train_step(self, optimizer: optax.GradientTransformation,
                         donate: bool = True):
-        # all scenes share static config; use scene 0's raw step with ray
-        # sharding disabled (the scene axis carries the parallelism instead)
-        raw_step = self.models[0].build_step_fn(optimizer, shard_rays=False)
-        vstep = jax.vmap(raw_step, in_axes=(0, 0, 0, None, 0))
+        # all scenes share static config; use scene 0's raw step. On a 2-D
+        # scene mesh the raw step keeps its ray-sharding constraints (they
+        # target the inner 'data' axis) and vmap carries the scene axis via
+        # spmd_axis_name; on a 1-D mesh the scene axis IS the mesh axis.
+        raw_step = self.models[0].build_step_fn(
+            optimizer, shard_rays=self.scene_parallel)
+        vmap_kwargs = dict(in_axes=(0, 0, 0, None, 0))
+        if self.scene_parallel:
+            vmap_kwargs["spmd_axis_name"] = SCENE_AXIS
+        vstep = jax.vmap(raw_step, **vmap_kwargs)
         sharding = self._scene_sharding
 
         def step_fn(params, opt_state, keys, step, data):

@@ -21,10 +21,12 @@ def test_sharded_step_matches_single_device():
 
     mesh8 = make_data_mesh(jax.devices()[:8])
     mesh1 = make_data_mesh(jax.devices()[:1])
+    # multi-slice shape: ('slice','data') 2x4 — same step, hierarchical reduce
+    mesh2x4 = make_data_mesh(jax.devices()[:8], n_slices=2)
 
     logs = {}
     params_out = {}
-    for name, mesh in [("m8", mesh8), ("m1", mesh1)]:
+    for name, mesh in [("m8", mesh8), ("m1", mesh1), ("m2x4", mesh2x4)]:
         model = NeROShapeModel(dict(cfg), training=True, mesh=mesh)
         opt = optax.adam(1e-3)
         step_fn = model.make_train_step(opt, donate=False)
@@ -34,14 +36,64 @@ def test_sharded_step_matches_single_device():
         logs[name] = {k: float(v) for k, v in log.items()}
         params_out[name] = params
 
-    for k in logs["m1"]:
-        np.testing.assert_allclose(logs["m8"][k], logs["m1"][k], rtol=2e-3,
-                                   atol=1e-5, err_msg=k)
-    # updated parameters agree across mesh sizes
-    l1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(params_out["m1"])]
-    l8 = [np.asarray(x) for x in jax.tree_util.tree_leaves(params_out["m8"])]
-    worst = max(float(np.max(np.abs(a - b))) for a, b in zip(l1, l8))
-    assert worst < 2e-4, worst
+    for other in ("m8", "m2x4"):
+        for k in logs["m1"]:
+            np.testing.assert_allclose(logs[other][k], logs["m1"][k], rtol=2e-3,
+                                       atol=1e-5, err_msg=f"{other}:{k}")
+        # updated parameters agree across mesh shapes
+        l1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(params_out["m1"])]
+        lo = [np.asarray(x) for x in jax.tree_util.tree_leaves(params_out[other])]
+        worst = max(float(np.max(np.abs(a - b))) for a, b in zip(l1, lo))
+        assert worst < 2e-4, (other, worst)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_scene_by_ray_mesh_matches_per_scene():
+    """Combined ('scene','data') 2x4 partitioning == each scene trained alone."""
+    from nero_tpu.models.multi_scene import MultiSceneShapeModel
+    from nero_tpu.parallel.mesh import make_scene_mesh
+
+    cfg = dict(TINY_CFG)
+    cfg["train_ray_num"] = 32
+    cfg["bf16_hidden"] = False
+
+    cfgs = []
+    for s in range(2):
+        c = dict(cfg)
+        c["name"] = f"par_scene{s}"
+        c["random_seed"] = 100 + s
+        cfgs.append(c)
+
+    mesh = make_scene_mesh(2, jax.devices()[:8])
+    ms = MultiSceneShapeModel([dict(c) for c in cfgs], mesh=mesh)
+    opt = optax.adam(1e-3)
+    ms_step = ms.make_train_step(opt, donate=False)
+    ms_params = ms.shard_over_scenes(ms.params)
+    ms_data = ms.shard_over_scenes(ms.train_data)
+    ms_opt = jax.vmap(opt.init)(ms_params)
+    keys = ms.scene_keys(jax.random.PRNGKey(7), 0)
+    ms_params, ms_opt, ms_log = ms_step(ms_params, ms_opt, keys,
+                                        jnp.asarray(0), ms_data)
+    scene_losses = np.asarray(ms_log["loss_total"])
+    assert scene_losses.shape == (2,)
+    assert scene_losses[0] != scene_losses[1]
+
+    # reference: each scene alone on a 1-device mesh with the same key
+    mesh1 = make_data_mesh(jax.devices()[:1])
+    for s in range(2):
+        c = dict(cfgs[s])
+        # MultiSceneShapeModel offsets each scene's seed by its index
+        c["random_seed"] = c["random_seed"] + s
+        model = NeROShapeModel(c, training=True, mesh=mesh1)
+        step_fn = model.make_train_step(opt, donate=False)
+        p1, _, log1 = step_fn(model.params, opt.init(model.params), keys[s],
+                              jnp.asarray(0), model.train_data)
+        np.testing.assert_allclose(float(log1["loss_total"]),
+                                   scene_losses[s], rtol=2e-3, atol=1e-5)
+        la = [np.asarray(x) for x in jax.tree_util.tree_leaves(p1)]
+        lb = [np.asarray(x[s]) for x in jax.tree_util.tree_leaves(ms_params)]
+        worst = max(float(np.max(np.abs(a - b))) for a, b in zip(la, lb))
+        assert worst < 2e-4, (s, worst)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
