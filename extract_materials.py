@@ -25,7 +25,8 @@ def main():
 
     cfg = load_cfg(flags.cfg)
     model = NeROMaterialModel(cfg, training=False)
-    ckpt_fn = os.path.join("data/model", cfg["name"], "model.npz")
+    ckpt_fn = os.path.join(cfg.get("model_root", "data/model"), cfg["name"],
+                           "model.npz")
     step, _, params, _ = load_checkpoint(ckpt_fn, model.params, None)
     print(f"loaded step {step} from {ckpt_fn}")
 

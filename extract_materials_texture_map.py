@@ -66,9 +66,10 @@ def main():
 
     cfg = load_cfg(flags.cfg)
     model = NeROMaterialModel(cfg, training=False)
-    best_fn = os.path.join("data/model", cfg["name"], "model_best.npz")
+    model_root = cfg.get("model_root", "data/model")
+    best_fn = os.path.join(model_root, cfg["name"], "model_best.npz")
     ckpt_fn = best_fn if os.path.exists(best_fn) else \
-        os.path.join("data/model", cfg["name"], "model.npz")
+        os.path.join(model_root, cfg["name"], "model.npz")
     step, _, params, _ = load_checkpoint(ckpt_fn, model.params, None)
     print(f"loaded step {step} from {ckpt_fn}")
 

@@ -31,7 +31,8 @@ def main():
 
     cfg = load_cfg(flags.cfg)
     model = NeROShapeModel(cfg, training=False)
-    ckpt = os.path.join("data/model", cfg["name"], "model.npz")
+    ckpt = os.path.join(cfg.get("model_root", "data/model"), cfg["name"],
+                        "model.npz")
     step, _, params, _ = load_checkpoint(ckpt, model.params, None)
     print(f"loaded step {step}")
 
