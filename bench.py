@@ -1,34 +1,60 @@
-"""Benchmark: Stage-I training throughput (rays/sec/chip) + MFU on real hardware.
+"""Benchmark: Stage-I + Stage-II training throughput and MFU on real hardware.
 
-Runs the flagship shape-model training step (512 rays x (64+64 inner + 32 bg
-samples), full losses incl. the post-20k occlusion march — the steady-state
-workload of reference configs/shape/syn/bell.yaml) on a procedural scene and
-reports sustained rays/sec, step time, FLOPs/step (XLA compiled cost
-analysis), and MFU against the chip's published bf16 peak.
+Stage I: the flagship shape-model training step (512 rays x (64+64 inner +
+32 bg samples), full losses incl. the post-20k occlusion march — the
+steady-state workload of reference configs/shape/syn/bell.yaml) on a
+procedural scene; reports sustained rays/sec, step time, FLOPs/step (XLA
+compiled cost analysis), and MFU against the chip's published bf16 peak.
 
-Baseline denominator (vs_baseline): the reference publishes NO throughput
+Stage II (nested under "stage2" in the same JSON line): the material step —
+512 surface points x (512 diffuse + 256 specular) traced sample directions
+with the neural visibility tracer, the reference's hardest workload
+(reference network/field.py:856-880).
+
+Baseline denominators (vs_baseline): the reference publishes NO throughput
 numbers anywhere in its tree (BASELINE.md) and no A100 measurement exists in
-this sandbox, so the denominator is a DERIVED ESTIMATE, stated openly:
-  reference step = 512 rays x (64 uniform + 4x16 importance) inner samples
-  with an 8x256 SDF MLP double-backprop + NeRF++ background + shading MLPs
+this sandbox, so the denominators are DERIVED ESTIMATES, stated openly:
+  Stage I: 512 rays x (64 uniform + 4x16 importance) inner samples with an
+  8x256 SDF MLP double-backprop + NeRF++ background + shading MLPs
   (reference network/renderer.py:84-92, configs/shape/syn/bell.yaml:30-34);
   NeuS-class renderers of this shape are commonly reported around ~4 steps/s
   on an A100 — 0.25 s/step x 512 rays => 2048 rays/s.
-A measured same-host cross-check now exists (round 2): the reference's OWN
-torch Stage-I step, imported from /root/reference and monkeypatched onto this
-host's CPU, runs at 10.27 s/step = 49.9 rays/s on the identical exported
+  Stage II: 512 pts x 768 BVH-traced dirs + light MLPs per step; comparable
+  MC-visibility shaders run around ~4 steps/s on an A100 => ~2048 pts/s.
+A measured same-host cross-check anchors Stage I (round 2): the reference's
+OWN torch Stage-I step, imported from /root/reference and monkeypatched onto
+this host's CPU, runs at 10.27 s/step = 49.9 rays/s on the identical exported
 scene and ray count (tools/bench_reference_cpu.py; BASELINE.md "Measured
-same-host cross-check"). The 2,048 rays/s A100 estimate stays as the stable
-denominator so vs_baseline remains comparable across rounds, but it is now
-anchored by a measurement rather than assumption alone.
+same-host cross-check"). The A100 estimates stay as the stable denominators
+so vs_baseline remains comparable across rounds.
 """
 import json
 import time
 
-A100_BASELINE_RAYS_PER_SEC = 2048.0  # estimate: 512 rays / 0.25 s-per-step (see module docstring)
+A100_BASELINE_RAYS_PER_SEC = 2048.0  # estimate (see module docstring)
+A100_BASELINE_PTS_PER_SEC = 2048.0   # estimate (see module docstring)
 
 
-def main():
+def _run_steps(step_fn, params, opt_state, key, step_idx, data, n_warm, n_steps):
+    """Chained-dependency timing loop with host-readback sync (axon tunnel
+    defers real execution past block_until_ready; only a readback syncs)."""
+    import jax
+
+    for i in range(n_warm):
+        params, opt_state, log = step_fn(params, opt_state,
+                                         jax.random.fold_in(key, i), step_idx, data)
+        if i % 4 == 3:
+            float(log["loss_total"])
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, opt_state, log = step_fn(params, opt_state,
+                                         jax.random.fold_in(key, 100 + i),
+                                         step_idx, data)
+    float(log["loss_total"])  # chain sync: every step feeds the next
+    return (time.perf_counter() - t0) / n_steps
+
+
+def bench_stage1():
     import jax
     import jax.numpy as jnp
     import optax
@@ -57,27 +83,11 @@ def main():
     step_idx = jnp.asarray(25000)
 
     flops_per_step = compiled_flops(step_fn, params, opt_state, key, step_idx, data)
+    step_s = _run_steps(step_fn, params, opt_state, key, step_idx, data,
+                        n_warm=12, n_steps=30)
 
-    # warmup: long enough to flush compiles AND the runtime's deferred work
-    # (the axon tunnel defers real execution past block_until_ready; a host
-    # readback is the only true sync)
-    for i in range(12):
-        params, opt_state, log = step_fn(params, opt_state,
-                                         jax.random.fold_in(key, i), step_idx, data)
-        if i % 4 == 3:
-            float(log["loss_total"])
-
-    n_steps = 30
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, opt_state, log = step_fn(params, opt_state,
-                                         jax.random.fold_in(key, 100 + i), step_idx, data)
-    float(log["loss_total"])  # chain sync: every step feeds the next
-    dt = time.perf_counter() - t0
-
-    step_s = dt / n_steps
     rays_per_sec = cfg["train_ray_num"] / step_s
-    print(json.dumps({
+    return {
         "metric": "stage1_train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
@@ -87,7 +97,62 @@ def main():
         "mfu": round(mfu(flops_per_step, step_s), 4),
         "peak_flops_per_sec": peak_flops_per_sec(),
         "device_kind": jax.devices()[0].device_kind,
-    }))
+    }
+
+
+def bench_stage2():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nero_tpu.core.mfu import compiled_flops, mfu
+    from nero_tpu.geometry.isosurface import extract_geometry
+    from nero_tpu.models.material import NeROMaterialModel
+
+    verts, tris = extract_geometry(
+        [-1, -1, -1], [1, 1, 1], 128, 0.0,
+        lambda p: jnp.linalg.norm(p, axis=-1, keepdims=True) - 0.5)
+    cfg = {
+        "name": "bench_stage2", "network": "material",
+        "database_name": "proc/sphere/100_12",
+        "mesh": {"vertices": verts, "triangles": tris},
+        "train_ray_num": 512,
+        "shader_cfg": {"diffuse_sample_num": 512, "specular_sample_num": 256,
+                       "human_lights": False, "outer_light_version": "direction"},
+        "loss": ["nerf_render", "mat_reg"], "key_metric_name": "psnr",
+    }
+    model = NeROMaterialModel(cfg, training=True)
+    opt = optax.adam(1e-4)
+    step_fn = model.make_train_step(opt, donate=False)
+    params = model.params
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(0)
+    step_idx = jnp.asarray(100)
+
+    flops_per_step = compiled_flops(step_fn, params, opt_state, key, step_idx,
+                                    model.train_data)
+    step_s = _run_steps(step_fn, params, opt_state, key, step_idx,
+                        model.train_data, n_warm=8, n_steps=20)
+
+    pts_per_sec = cfg["train_ray_num"] / step_s
+    dirs = (cfg["shader_cfg"]["diffuse_sample_num"]
+            + cfg["shader_cfg"]["specular_sample_num"])
+    return {
+        "metric": "stage2_train_points_per_sec_per_chip",
+        "value": round(pts_per_sec, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_sec / A100_BASELINE_PTS_PER_SEC, 3),
+        "step_ms": round(step_s * 1e3, 2),
+        "flops_per_step": flops_per_step,
+        "mfu": round(mfu(flops_per_step, step_s), 4),
+        "traced_rays_per_sec": round(pts_per_sec * dirs, 0),
+    }
+
+
+def main():
+    result = bench_stage1()
+    result["stage2"] = bench_stage2()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
