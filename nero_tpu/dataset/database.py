@@ -337,9 +337,14 @@ class ProceduralDatabase(BaseDatabase):
         else:
             res, views = spec, "16"
         self.res, self.n_views = int(res), int(views)
-        # concave scenes need high views to observe the interior
-        el_range = (0.35, 1.25) if self.kind == "bowl" else (0.25, 0.75)
-        dist = 2.2 if self.kind == "bowl" else 3.0
+        # concave scenes need high views to observe the interior; the mirror
+        # torus is flat in xy, so look down into its hole from closer in
+        if self.kind in ("bowl", "capture"):
+            el_range, dist = (0.35, 1.25), 2.2
+        elif self.kind == "mirror":
+            el_range, dist = (0.30, 1.15), 2.0
+        else:
+            el_range, dist = (0.25, 0.75), 3.0
         self.Ks, self.poses = make_cameras(self.n_views, self.res, self.res,
                                            dist=dist, el_range=el_range)
         self.img_ids = [str(i) for i in range(self.n_views)]

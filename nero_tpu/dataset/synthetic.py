@@ -56,12 +56,37 @@ def _sdf_bowl(p: np.ndarray) -> np.ndarray:
     return np.minimum(bowl, ball)
 
 
+# ---------------------------------------------------------------------------
+# Mirror-grade scene ("mirror"): a thin-tube torus (genus 1 — the hardest mesh
+# family for a distilled visibility field) plus a polished ball threaded
+# through its hole, both near-perfect mirrors (metallic~1, roughness~0.05).
+# Two reflection bounces: the torus sees the ball sees the torus — sharper
+# interreflection than the bowl, where visibility errors actually show
+# (cf. reference configs/shape/syn/angel.yaml's clip_sample_variance hard
+# cases).
+# ---------------------------------------------------------------------------
+
+TORUS_R = 0.34          # major radius
+TORUS_TUBE = 0.055      # minor (tube) radius — thin
+MIRROR_BALL_C = np.asarray([0.0, 0.0, 0.0])
+MIRROR_BALL_R = 0.14
+
+
+def _sdf_mirror(p: np.ndarray) -> np.ndarray:
+    q = np.stack([np.linalg.norm(p[..., :2], axis=-1) - TORUS_R, p[..., 2]], -1)
+    torus = np.linalg.norm(q, axis=-1) - TORUS_TUBE
+    ball = np.linalg.norm(p - MIRROR_BALL_C, axis=-1) - MIRROR_BALL_R
+    return np.minimum(torus, ball)
+
+
 def scene_sdf(kind: str):
     """Analytic SDF of a procedural scene kind (for gt meshes / tracer tests)."""
     if kind == "sphere":
         return lambda p: np.linalg.norm(p, axis=-1) - 0.5
-    if kind == "bowl":
+    if kind in ("bowl", "capture"):
         return _sdf_bowl
+    if kind == "mirror":
+        return _sdf_mirror
     raise NotImplementedError(f"unknown procedural kind {kind}")
 
 
@@ -147,6 +172,62 @@ def _shade_bowl(p, n, d, depth_left: int = 1):
     return color + 0.5 * fresnel * refl_col
 
 
+def _mirror_albedo(p: np.ndarray) -> np.ndarray:
+    """Dark metal tint with a faint pattern (most signal is the reflection)."""
+    in_ball = (np.linalg.norm(p - MIRROR_BALL_C, axis=-1) - MIRROR_BALL_R) < \
+        _sdf_mirror(p) + 1e-6  # closer to the ball component
+    gold = np.stack([0.85 + 0.05 * np.sin(10 * p[:, 0]),
+                     0.65 + 0.05 * np.cos(9 * p[:, 2]),
+                     0.30 + 0.05 * np.sin(8 * p[:, 1])], -1)
+    steel = np.stack([0.72 + 0.04 * np.cos(11 * p[:, 2]),
+                      0.75 + 0.04 * np.sin(9 * p[:, 0]),
+                      0.80 + 0.04 * np.cos(10 * p[:, 1])], -1)
+    return np.where(in_ball[:, None], gold, steel)
+
+
+def _shade_mirror(p, n, d, depth_left: int = 2):
+    """Near-perfect mirror: tiny diffuse floor + strong multi-bounce specular."""
+    sdf = _sdf_mirror
+    albedo = _mirror_albedo(p)
+    lambert = np.clip(np.sum(n * _LIGHT_DIR, -1), 0, 1)
+    diffuse = albedo * 0.06 * (0.3 + 0.7 * lambert[:, None])
+    refl = d - 2 * np.sum(d * n, -1, keepdims=True) * n
+    refl_col = _env_color(refl)
+    if depth_left > 0:
+        o2 = p + n * 2e-3
+        t2, hit2 = _sphere_trace(sdf, o2, refl, 5e-3, 2.5)
+        if hit2.any():
+            p2 = o2[hit2] + refl[hit2] * t2[hit2][:, None]
+            n2 = _sdf_normal(sdf, p2)
+            refl_col[hit2] = _shade_mirror(p2, n2, refl[hit2], depth_left - 1)
+    # tinted conductor fresnel (metallic F0 = albedo)
+    nov = np.clip(-np.sum(d * n, -1, keepdims=True), 0, 1)
+    f = albedo + (1 - albedo) * (1 - nov) ** 5
+    return diffuse + 0.94 * f * refl_col
+
+
+# camera-collocated capture light ("capture" scene): same bowl geometry, but
+# shaded with an extra point light riding the camera — the physical situation
+# the reference's human_light head models for GlossyReal captures
+# (reference network/field.py:536-552, configs/shape/real/bear.yaml:7).
+_CAPTURE_LIGHT_I = 1.4
+
+
+def _shade_capture(p, n, d, cam_pos):
+    base = _shade_bowl(p, n, d)
+    to_cam = cam_pos[None, :] - p
+    dist = np.linalg.norm(to_cam, axis=-1, keepdims=True)
+    l = to_cam / np.maximum(dist, 1e-9)
+    # the light sits at the camera: primary visibility == light visibility,
+    # so no shadow ray is needed along this path
+    ndl = np.clip(np.sum(n * l, -1, keepdims=True), 0, 1)
+    half = l - d
+    half = half / np.maximum(np.linalg.norm(half, axis=-1, keepdims=True), 1e-9)
+    spec = np.clip(np.sum(n * half, -1, keepdims=True), 0, 1) ** 48
+    cam_light = _CAPTURE_LIGHT_I / np.maximum(dist ** 2, 1e-6)
+    return base + cam_light * (_bowl_albedo(p) * 0.35 * ndl + 0.5 * spec)
+
+
 def _camera_rays(pose, K, h, w):
     xs, ys = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
     pix = np.stack([xs, ys, np.ones_like(xs)], -1).reshape(-1, 3)
@@ -161,22 +242,30 @@ def _camera_rays(pose, K, h, w):
     return o, d, d_cam_norm
 
 
-def render_view_bowl(pose: np.ndarray, K: np.ndarray, h: int, w: int):
-    """SDF-traced render of the concave scene with shadows + interreflection."""
+def _render_sdf_view(pose, K, h, w, sdf, shade_fn):
+    """SDF-traced render with shadows + interreflection (shared by the bowl /
+    mirror / capture scene kinds)."""
     o, d, d_cam_norm = _camera_rays(pose, K, h, w)
-    cam_dist = np.linalg.norm(o[0])
-    t_hit, hit = _sphere_trace(_sdf_bowl, o, d, cam_dist - 1.0, cam_dist + 1.0)
+    cam_pos = o[0].copy()
+    cam_dist = np.linalg.norm(cam_pos)
+    t_hit, hit = _sphere_trace(sdf, o, d, cam_dist - 1.0, cam_dist + 1.0)
 
     rgb = _env_color(d)
     if hit.any():
         p = o[hit] + d[hit] * t_hit[hit][:, None]
-        n = _sdf_normal(_sdf_bowl, p)
-        rgb[hit] = _shade_bowl(p, n, d[hit])
+        n = _sdf_normal(sdf, p)
+        rgb[hit] = shade_fn(p, n, d[hit], cam_pos)
     rgb = np.clip(rgb, 0, 1) ** (1 / 2.2)
 
     depth = np.where(hit, t_hit / d_cam_norm, 15.0).astype(np.float32)
     img = (np.clip(rgb, 0, 1) * 255 + 0.5).astype(np.uint8)
     return img.reshape(h, w, 3), depth.reshape(h, w), hit.reshape(h, w)
+
+
+def render_view_bowl(pose: np.ndarray, K: np.ndarray, h: int, w: int):
+    """SDF-traced render of the concave scene with shadows + interreflection."""
+    return _render_sdf_view(pose, K, h, w, _sdf_bowl,
+                            lambda p, n, d, cam: _shade_bowl(p, n, d))
 
 
 def render_view(pose: np.ndarray, K: np.ndarray, h: int, w: int,
@@ -187,6 +276,12 @@ def render_view(pose: np.ndarray, K: np.ndarray, h: int, w: int,
     """
     if kind == "bowl":
         return render_view_bowl(pose, K, h, w)
+    if kind == "mirror":
+        return _render_sdf_view(pose, K, h, w, _sdf_mirror,
+                                lambda p, n, d, cam: _shade_mirror(p, n, d))
+    if kind == "capture":
+        return _render_sdf_view(pose, K, h, w, _sdf_bowl,
+                                lambda p, n, d, cam: _shade_capture(p, n, d, cam))
     o, d, d_cam_norm = _camera_rays(pose, K, h, w)
 
     t_hit, hit = _sphere_hit(o, d, radius)

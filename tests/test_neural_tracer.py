@@ -103,6 +103,58 @@ def test_concave_multicomponent_agreement(bowl_mesh, tmp_path, monkeypatch):
     assert np.sum(ng[both] * nc[both], -1).mean() > 0.95
 
 
+def test_thin_tube_torus_agreement_or_fallback(tmp_path, monkeypatch):
+    """Stress: thin-tube high-genus mesh (the 'mirror' scene torus, tube
+    radius 0.055 ~ 4 voxels of the distill field) — the family real scenes
+    like the reference's angel/horse produce (VERDICT r2 #9; ref contract
+    raytracing/raytracer.py:21-49).
+
+    Contract under test: EITHER the distilled field is accurate enough
+    (RMS <= the material model's tracer_rms_fallback=0.004, and then the
+    0.98 clearing-ray agreement bar must hold), OR the RMS tripwire fires —
+    i.e. the silent-failure window (bad field + quiet tripwire) is empty."""
+    from nero_tpu.dataset.synthetic import scene_sdf
+    import nero_tpu.geometry.native as native
+    sdf = scene_sdf("mirror")
+    grid = 72
+    xs = np.linspace(-0.52, 0.52, grid).astype(np.float32)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    vals = sdf(np.stack([X, Y, Z], -1).reshape(-1, 3)) \
+        .reshape(grid, grid, grid).astype(np.float32)
+    verts, tris = native.isosurface(vals, 0.0)
+    verts = (verts / (grid - 1.0) * 1.04 - 0.52).astype(np.float32)
+
+    monkeypatch.setattr(NeuralTracer, "CACHE_DIR", str(tmp_path))
+    tracer = NeuralTracer(verts, tris, distill_steps=600,
+                          distill_samples=200_000, distill_batch=16384,
+                          verbose=False)
+    FALLBACK_RMS = 0.004  # models/material.py tracer_rms_fallback
+    if tracer.distill_rms > FALLBACK_RMS:
+        return  # tripwire fires -> material model switches to the grid tracer
+
+    rng = np.random.RandomState(0)
+    n = 8192
+    ti = rng.randint(0, len(tris), n)
+    u, v = rng.rand(n, 1), rng.rand(n, 1)
+    flip = (u + v) > 1
+    u = np.where(flip, 1 - u, u)
+    v = np.where(flip, 1 - v, v)
+    p = (verts[tris[ti, 0]] + u * (verts[tris[ti, 1]] - verts[tris[ti, 0]])
+         + v * (verts[tris[ti, 2]] - verts[tris[ti, 0]]))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = (p + d * 1e-3).astype(np.float32)
+
+    _, _, dc, hc = tracer.trace_cpu(o, d)
+    _, _, dg, hg = jax.tree_util.tree_map(
+        np.asarray, tracer.trace(jnp.asarray(o), jnp.asarray(d)))
+    clear = (~hc) | (dc > 0.05)
+    agree = (hg == hc)[clear].mean()
+    assert agree >= 0.98, \
+        f"RMS {tracer.distill_rms:.4f} passed the tripwire but clearing-ray " \
+        f"agreement is only {agree:.3f} — tighten tracer_rms_fallback"
+
+
 def test_distill_cache_roundtrip(bowl_mesh, tmp_path, monkeypatch):
     """Second construction must load from cache, bit-identical params."""
     verts, tris = bowl_mesh
