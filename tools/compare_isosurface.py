@@ -24,8 +24,9 @@ def main():
     parser.add_argument("--scene", type=str, default="sphere",
                         choices=["sphere", "bowl"])
     parser.add_argument("--res", type=int, default=128)
-    parser.add_argument("--db_res", type=int, default=100)
-    parser.add_argument("--voxel", type=float, default=0.02)
+    parser.add_argument("--db_res", type=int, default=256)
+    parser.add_argument("--n_views", type=int, default=24)
+    parser.add_argument("--voxel", type=float, default=0.005)
     flags = parser.parse_args()
 
     import numpy as np
@@ -54,7 +55,7 @@ def main():
                                    axis=-1) - syn.BOWL_BALL_R
             return jnp.minimum(bowl, ball)[..., None]
 
-    db = parse_database_name(f"proc/{flags.scene}/{flags.db_res}_12")
+    db = parse_database_name(f"proc/{flags.scene}/{flags.db_res}_{flags.n_views}")
     gt_pts = get_database_eval_points(db, voxel_size=flags.voxel)
 
     report = {}

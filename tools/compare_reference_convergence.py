@@ -142,18 +142,229 @@ def run_ours(rays, n_steps, platform=None):
                              "wall_s": round(time.time() - t0, 1)})
 
 
+# ---------------------------------------------------------------------------
+# Stage II: both frameworks shade the SAME analytic bowl mesh with the SAME
+# exact visibility (our host C++ BVH — injected into the reference's
+# MCShadingNetwork as its `ray_trace_fun`, reference network/field.py:713,754,
+# via a drop-in raytracing.RayTracer; reference renderer.py:675-676).
+# ---------------------------------------------------------------------------
+
+S2_MESH = "data/ref_convergence_s2_bowl.ply"
+S2_LR = 1e-4
+
+
+def _write_bowl_mesh(path, res=128):
+    """Analytic bowl mesh via numpy SDF + native surface nets (no jax —
+    runnable inside the torch reference process)."""
+    import numpy as np
+    from nero_tpu.dataset.synthetic import scene_sdf
+    from nero_tpu.geometry.mesh_io import write_ply
+    from nero_tpu.geometry.native import isosurface
+
+    sdf = scene_sdf("bowl")
+    lo, hi = -1.01, 1.01
+    xs = np.linspace(lo, hi, res, dtype=np.float32)
+    pts = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
+    u = sdf(pts).astype(np.float32)
+    u = np.where(np.linalg.norm(pts, axis=-1) >= 1.0, 1.0, u).reshape(res, res, res)
+    v, t = isosurface(u, 0.0)
+    v = v / (res - 1.0) * (hi - lo) + lo
+    write_ply(path, v.astype(np.float32), t)
+    return path
+
+
+def _s2_shader_cfg(dn, sn):
+    return {"diffuse_sample_num": dn, "specular_sample_num": sn,
+            "human_lights": False, "outer_light_version": "direction"}
+
+
+def run_reference_stage2(scene, rays, n_steps, dn, sn):
+    import numpy as np
+    import torch
+    from tools.bench_reference_cpu import (export_scene,
+                                           install_reference_stubs,
+                                           patch_torch_cpu)
+    export_scene(scene, "bowl", 100, 12)
+    mesh_path = os.path.abspath(S2_MESH)
+    if not os.path.exists(mesh_path):
+        _write_bowl_mesh(mesh_path)
+
+    # real backends for the two modules Stage-II actually exercises, installed
+    # BEFORE the permissive stubs claim them
+    import types
+
+    from nero_tpu.geometry.mesh_io import read_ply
+    from nero_tpu.geometry.native import bvh_build, bvh_trace_cpu
+
+    class CppRayTracer:
+        """Drop-in for the reference raytracing.RayTracer (raytracer.py:21-49)
+        backed by our host C++ BVH; miss => depth = far = 10 (the reference's
+        depth >= 10 miss convention, renderer.py:726)."""
+
+        def __init__(self, vertices, triangles):
+            if torch.is_tensor(vertices):
+                vertices = vertices.detach().cpu().numpy()
+            if torch.is_tensor(triangles):
+                triangles = triangles.detach().cpu().numpy()
+            self.bvh = bvh_build(np.ascontiguousarray(vertices, np.float32),
+                                 np.ascontiguousarray(triangles, np.int32))
+
+        def trace(self, rays_o, rays_d, inplace=False):
+            prefix = rays_o.shape[:-1]
+            o = rays_o.detach().cpu().numpy().reshape(-1, 3)
+            d = rays_d.detach().cpu().numpy().reshape(-1, 3)
+            inters, normals, depth, _hit = bvh_trace_cpu(self.bvh, o, d, far=10.0)
+            return (torch.from_numpy(inters.reshape(*prefix, 3)),
+                    torch.from_numpy(normals.reshape(*prefix, 3)),
+                    torch.from_numpy(depth.reshape(*prefix)))
+
+    rt = types.ModuleType("raytracing")
+    rt.__file__ = "<nero_tpu>"
+    rt.RayTracer = CppRayTracer
+    sys.modules["raytracing"] = rt
+
+    class _O3dMesh:
+        def __init__(self, data):
+            self.vertices = data["vertices"]
+            self.triangles = data["triangles"]
+
+    o3d = types.ModuleType("open3d")
+    o3d.__file__ = "<nero_tpu>"
+    o3d.__path__ = []
+    o3d_io = types.ModuleType("open3d.io")
+    o3d_io.read_triangle_mesh = lambda p: _O3dMesh(read_ply(p))
+    o3d.io = o3d_io
+    sys.modules["open3d"] = o3d
+    sys.modules["open3d.io"] = o3d_io
+
+    sys.path.insert(0, "/root/reference")
+    install_reference_stubs()
+    patch_torch_cpu()
+    import time
+
+    import torch.nn.functional as F
+    from network.loss import name2loss
+    from network.renderer import NeROMaterialRenderer
+
+    def get_human_coordinate_poses(self, poses):
+        # identical math, minus the in-place write to an expand()ed tensor
+        # that newer torch rejects (see the Stage-I patch above)
+        pn = poses.shape[0]
+        cam_cen = (-poses[:, :, :3].permute(0, 2, 1) @ poses[:, :, 3:])[..., 0]
+        if not self.cfg["fixed_camera"]:
+            cam_cen = cam_cen.clone()
+            cam_cen[..., 2] = 0
+        Y = torch.zeros(pn, 3)
+        Y[:, 2] = -1.0
+        Z = poses[:, 2, :3].clone()
+        Z[:, 2] = 0
+        Z = F.normalize(Z, dim=-1)
+        X = torch.cross(Y, Z, dim=-1)
+        R = torch.stack([X, Y, Z], 1)
+        t = -R @ cam_cen[:, :, None]
+        return torch.cat([R, t], -1)
+
+    NeROMaterialRenderer.get_human_coordinate_poses = get_human_coordinate_poses
+
+    torch.manual_seed(0)
+    cfg = {"database_name": f"syn/{scene}", "mesh": mesh_path,
+           "train_ray_num": rays, "shader_cfg": _s2_shader_cfg(dn, sn)}
+    renderer = NeROMaterialRenderer(cfg)
+    losses = [name2loss[n]({}) for n in ["nerf_render", "mat_reg"]]
+    opt = torch.optim.Adam(renderer.parameters(), lr=S2_LR)
+
+    curve = []
+    t0 = time.time()
+    for step in range(n_steps):
+        opt.zero_grad()
+        outputs = renderer({"step": step})
+        log = {}
+        for loss in losses:
+            log.update(loss(outputs, {"step": step}, step))
+        total = 0
+        for k, v in log.items():
+            if k.startswith("loss"):
+                total = total + torch.mean(v)
+        total.backward()
+        opt.step()
+        curve.append(float(torch.mean(log["loss_rgb"]).detach()))
+        if (step + 1) % 10 == 0:
+            print(f"ref s2 step {step + 1}: loss_rgb "
+                  f"{sum(curve[-10:]) / 10:.4f}", flush=True)
+    save("reference_stage2", curve,
+         {"steps": n_steps, "rays": rays, "dirs": dn + sn,
+          "wall_s": round(time.time() - t0, 1)})
+
+
+def run_ours_stage2(rays, n_steps, dn, sn, platform=None):
+    import time
+
+    import jax
+    if platform:
+        os.environ["JAX_PLATFORMS"] = platform
+        jax.config.update("jax_platforms", platform)
+    if jax.default_backend() != "tpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath("tests/.jax_compile_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+    import optax
+    from nero_tpu.models.material import NeROMaterialModel
+
+    mesh_path = os.path.abspath(S2_MESH)
+    if not os.path.exists(mesh_path):
+        _write_bowl_mesh(mesh_path)
+
+    cfg = {"name": "conv_ours_s2", "network": "material",
+           "database_name": "proc/bowl/100_12", "mesh": mesh_path,
+           "train_ray_num": rays, "tracer": "bvh",  # exact, same as ref side
+           "shader_cfg": {**_s2_shader_cfg(dn, sn), "bf16_hidden": False},
+           "loss": ["nerf_render", "mat_reg"], "key_metric_name": "psnr"}
+    model = NeROMaterialModel(cfg, training=True)
+    opt = optax.adam(S2_LR)
+    step_fn = model.make_train_step(opt, donate=False)
+    params, opt_state = model.params, opt.init(model.params)
+    key = jax.random.PRNGKey(0)
+
+    curve = []
+    t0 = time.time()
+    for step in range(n_steps):
+        params, opt_state, log = step_fn(params, opt_state,
+                                         jax.random.fold_in(key, step),
+                                         jnp.asarray(step), model.train_data)
+        curve.append(float(log["loss_rgb"]))
+        if (step + 1) % 10 == 0:
+            print(f"ours s2 step {step + 1}: loss_rgb "
+                  f"{sum(curve[-10:]) / 10:.4f}", flush=True)
+    save("nero_tpu_stage2", curve,
+         {"steps": n_steps, "rays": rays, "dirs": dn + sn,
+          "wall_s": round(time.time() - t0, 1)})
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--which", choices=["ref", "ours"], required=True)
+    parser.add_argument("--stage", type=int, default=1, choices=[1, 2])
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--rays", type=int, default=512)
+    parser.add_argument("--diffuse", type=int, default=128,
+                        help="stage-2 diffuse sample dirs (full config: 512; "
+                             "reduced so the torch reference finishes on CPU)")
+    parser.add_argument("--specular", type=int, default=64)
     parser.add_argument("--platform", default=None,
                         help="force a jax platform for --which ours (e.g. cpu);"
                              " default = whatever the session provides (TPU "
                              "under axon) — per-step learning is hardware-"
                              "independent")
     flags = parser.parse_args()
-    if flags.which == "ref":
+    if flags.stage == 2:
+        if flags.which == "ref":
+            run_reference_stage2("proc_bowl_s2", flags.rays, flags.steps,
+                                 flags.diffuse, flags.specular)
+        else:
+            run_ours_stage2(flags.rays, flags.steps, flags.diffuse,
+                            flags.specular, flags.platform)
+    elif flags.which == "ref":
         run_reference("proc_sphere", flags.rays, flags.steps)
     else:
         run_ours(flags.rays, flags.steps, flags.platform)

@@ -83,7 +83,13 @@ def main():
     from nero_tpu.dataset.database import (get_database_eval_points,
                                            parse_database_name)
     from nero_tpu.geometry.chamfer import chamfer_distance
-    gt_pts = get_database_eval_points(parse_database_name(db), voxel_size=0.02)
+    # eval cloud from a DENSER view set of the same scene (256px x 24 views,
+    # 0.005 voxel): the old 0.02-voxel cloud floored Chamfer at ~0.016, making
+    # real geometry gains invisible (VERDICT r2 #8; floor decomposition in
+    # tools/compare_isosurface.py)
+    eval_db = f"proc/{flags.scene}/256_24"
+    gt_pts = get_database_eval_points(parse_database_name(eval_db),
+                                      voxel_size=0.005)
     chamfer, _, _ = chamfer_distance(verts, gt_pts)
     report["chamfer"] = round(float(chamfer), 5)
     # analytic truth: distance of mesh vertices to the scene's exact SDF
