@@ -138,6 +138,12 @@ def shape_config_from_dict(cfg: dict) -> ShapeConfig:
     # (the pallas_call boundary blocks XLA fusion with surrounding ops).
     if cfg.get("use_fused_sdf") and not _fused_sdf_supported(scfg):
         scfg = scfg._replace(use_fused_sdf=False)
+    # sdf_grad_mode 'fused' needs the TPU Pallas kernel + default topology;
+    # it also stores activations in bf16 (like bf16_hidden) so it is only
+    # auto-eligible where bf16_hidden resolves on.
+    if scfg.sdf_grad_mode == "fused" and not (
+            _fused_sdf_supported(scfg) and scfg.sdf_cfg.d_out == 257):
+        scfg = scfg._replace(sdf_grad_mode="rev")
     return scfg
 
 
@@ -269,8 +275,12 @@ def _sample_z_vals(params, scfg: ShapeConfig, rays_o, rays_d, near, far, key=Non
 
 def compute_sdf_alpha(params, scfg: ShapeConfig, points, dists, dirs, cos_anneal_ratio, step):
     """NeuS alpha on the inner lattice. points [R,S,3]. Returns alpha, grads, feats, inv_s, sdf."""
-    sdf, feats, grads = sdf_with_grad(params["sdf"], points, scfg.sdf_cfg,
-                                      mode=scfg.sdf_grad_mode)
+    if scfg.sdf_grad_mode == "fused":
+        from nero_tpu.ops.pallas.sdf_grad_kernel import sdf_with_grad_fused
+        sdf, feats, grads = sdf_with_grad_fused(params["sdf"], points, scfg.sdf_cfg)
+    else:
+        sdf, feats, grads = sdf_with_grad(params["sdf"], points, scfg.sdf_cfg,
+                                          mode=scfg.sdf_grad_mode)
     sdf = sdf[..., 0]
     inv_s = jnp.clip(variance_inv_s(params["variance"], scfg.std_act), 1e-6, 1e6)
     if scfg.freeze_inv_s_step is not None:
