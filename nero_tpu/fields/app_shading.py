@@ -35,6 +35,10 @@ class AppShadingConfig(NamedTuple):
     light_exp_max: float = 0.0
     feats_dim: int = 256
     ide_deg: int = 5
+    # run the 4-layer heads through the fused Pallas predictor kernel
+    # (ops/pallas/predictor_kernel.py) — TPU only, resolved by
+    # render/shape.py::shape_config_from_dict
+    fused_heads: bool = False
 
 
 def shading_config_from_dict(cfg: dict) -> AppShadingConfig:
@@ -96,7 +100,8 @@ def predict_human_light(params, cfg: AppShadingConfig, points, reflective, human
     var = jnp.broadcast_to(var * hitsf, mean.shape)
     pos_enc = integrated_pos_encode(mean, var, 0, 6)
     # exp clamped at 0 (reference make_predictor default exp_max=0.0) -> <= 1
-    human = apply_predictor(params["human_light"], pos_enc, activation="exp", exp_max=0.0) * hitsf
+    human = apply_predictor(params["human_light"], pos_enc, activation="exp",
+                            exp_max=0.0, fused=cfg.fused_heads) * hitsf
     human_light, human_weight = human[..., :3], human[..., 3:]
     return human_light, jnp.clip(human_weight, 0.0, 1.0)
 
@@ -118,7 +123,8 @@ def predict_diffuse_lights(params, cfg: AppShadingConfig, points, normals):
     if cfg.sphere_direction:
         sph = _sphere_dir_enc(cfg, points, normals, roughness)
         ref = jnp.concatenate([ref, sph], axis=-1)
-    return apply_predictor(params["outer_light"], ref, activation="exp", exp_max=cfg.light_exp_max)
+    return apply_predictor(params["outer_light"], ref, activation="exp",
+                           exp_max=cfg.light_exp_max, fused=cfg.fused_heads)
 
 
 def predict_specular_lights(params, cfg: AppShadingConfig, points, reflective, roughness, human_poses):
@@ -128,10 +134,12 @@ def predict_specular_lights(params, cfg: AppShadingConfig, points, reflective, r
         sph = _sphere_dir_enc(cfg, points, reflective, roughness)
         direct_light = apply_predictor(params["outer_light"],
                                        jnp.concatenate([ref_rough, sph], -1),
-                                       activation="exp", exp_max=cfg.light_exp_max)
+                                       activation="exp", exp_max=cfg.light_exp_max,
+                                       fused=cfg.fused_heads)
     else:
         direct_light = apply_predictor(params["outer_light"], ref_rough,
-                                       activation="exp", exp_max=cfg.light_exp_max)
+                                       activation="exp", exp_max=cfg.light_exp_max,
+                                       fused=cfg.fused_heads)
 
     if cfg.human_light:
         human_light, human_weight = predict_human_light(params, cfg, points, reflective,
@@ -141,10 +149,12 @@ def predict_specular_lights(params, cfg: AppShadingConfig, points, reflective, r
 
     indirect_light = apply_predictor(params["inner_light"],
                                      jnp.concatenate([pts, ref_rough], -1),
-                                     activation="exp", exp_max=cfg.light_exp_max)
+                                     activation="exp", exp_max=cfg.light_exp_max,
+                                     fused=cfg.fused_heads)
     ref_enc = positional_encode(reflective, 6)
     occ_inp = jnp.concatenate([jax.lax.stop_gradient(pts), jax.lax.stop_gradient(ref_enc)], -1)
-    occ_prob = apply_predictor(params["inner_weight"], occ_inp, activation="none")
+    occ_prob = apply_predictor(params["inner_weight"], occ_inp, activation="none",
+                               fused=cfg.fused_heads)
     occ_prob = occ_prob * 0.5 + 0.5
     occ_prob_c = jnp.clip(occ_prob, 0.0, 1.0)
 
@@ -154,11 +164,11 @@ def predict_specular_lights(params, cfg: AppShadingConfig, points, reflective, r
     return light, occ_prob, indirect_light, human_light * human_weight
 
 
-def predict_materials(params, points, feature_vectors):
+def predict_materials(params, points, feature_vectors, fused: bool = False):
     inp = jnp.concatenate([feature_vectors, points], -1)
-    metallic = apply_predictor(params["metallic"], inp, activation="sigmoid")
-    roughness = apply_predictor(params["roughness"], inp, activation="sigmoid")
-    albedo = apply_predictor(params["albedo"], inp, activation="sigmoid")
+    metallic = apply_predictor(params["metallic"], inp, activation="sigmoid", fused=fused)
+    roughness = apply_predictor(params["roughness"], inp, activation="sigmoid", fused=fused)
+    albedo = apply_predictor(params["albedo"], inp, activation="sigmoid", fused=fused)
     return metallic, roughness, albedo
 
 
@@ -170,7 +180,8 @@ def app_shading_apply(params, cfg: AppShadingConfig, fg_lut, points, normals, vi
     reflective = jnp.sum(view_dirs * normals, -1, keepdims=True) * normals * 2 - view_dirs
     NoV = jnp.sum(normals * view_dirs, -1, keepdims=True)
 
-    metallic, roughness, albedo = predict_materials(params, points, feature_vectors)
+    metallic, roughness, albedo = predict_materials(params, points, feature_vectors,
+                                                    fused=cfg.fused_heads)
 
     diffuse_albedo = (1 - metallic) * albedo
     diffuse_light = predict_diffuse_lights(params, cfg, points, normals)

@@ -179,11 +179,17 @@ def init_predictor(key, d_in: int, d_out: int, *, weight_norm: bool = True,
 
 
 def apply_predictor(layers, x: jnp.ndarray, activation: str = "sigmoid",
-                    exp_max: float = 0.0) -> jnp.ndarray:
-    h = cast_hidden(x)
-    for layer in layers[:-1]:
-        h = cast_hidden(jax.nn.relu(apply_dense(layer, h)))
-    h = apply_dense(layers[-1], h)
+                    exp_max: float = 0.0, fused: bool = False) -> jnp.ndarray:
+    if fused:
+        # fused Pallas head (TPU): linear/ReLU body in one VMEM-resident
+        # kernel with a custom VJP; the final activation stays in XLA.
+        from nero_tpu.ops.pallas.predictor_kernel import predictor_fused
+        h = predictor_fused(layers, x)
+    else:
+        h = cast_hidden(x)
+        for layer in layers[:-1]:
+            h = cast_hidden(jax.nn.relu(apply_dense(layer, h)))
+        h = apply_dense(layers[-1], h)
     if activation == "exp":
         return exp_activation(h, exp_max)
     return _ACTIVATIONS[activation](h)

@@ -138,6 +138,9 @@ def shape_config_from_dict(cfg: dict) -> ShapeConfig:
     # (the pallas_call boundary blocks XLA fusion with surrounding ops).
     if cfg.get("use_fused_sdf") and not _fused_sdf_supported(scfg):
         scfg = scfg._replace(use_fused_sdf=False)
+    # fused shader heads need the TPU Pallas predictor kernel
+    if scfg.shader.fused_heads and not _on_tpu():
+        scfg = scfg._replace(shader=scfg.shader._replace(fused_heads=False))
     # sdf_grad_mode 'fused' needs the TPU Pallas kernel + default topology;
     # it also stores activations in bf16 (like bf16_hidden) so it is only
     # auto-eligible where bf16_hidden resolves on.

@@ -84,6 +84,24 @@ def main():
             ("default", {}),
             ("fused_sdf", {"use_fused_sdf": True}),
         ]
+    if len(_sys.argv) > 1 and _sys.argv[1] == "heads":
+        # fused Pallas predictor heads (ops/pallas/predictor_kernel.py) vs XLA
+        variants = [
+            ("heads_xla_512", {}),
+            ("heads_fused_512", {"fused_heads": True}),
+            ("heads_xla_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192}),
+            ("heads_fused_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
+                                  "fused_heads": True}),
+        ]
+    if len(_sys.argv) > 1 and _sys.argv[1] == "grad":
+        # rev-mode VJP vs the fused SDF-with-grad Pallas kernel
+        variants = [
+            ("grad_rev_512", {}),
+            ("grad_fused_512", {"sdf_grad_mode": "fused"}),
+            ("grad_rev_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192}),
+            ("grad_fused_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
+                                 "sdf_grad_mode": "fused"}),
+        ]
     if len(_sys.argv) > 1 and _sys.argv[1] == "topk":
         variants = [
             ("k0_full", {"shade_top_k": 0}),

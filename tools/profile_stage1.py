@@ -46,13 +46,14 @@ def main():
     from nero_tpu.train.losses import compute_losses, total_loss
 
     rays = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    grad_mode = sys.argv[2] if len(sys.argv) > 2 else "rev"
     cfg = {
         "name": "profile_stage1", "network": "shape",
         "database_name": "proc/sphere/128_16",
         "train_ray_num": rays, "occ_loss_step": 20000,
         "occ_loss_max_pn": 4 * rays,
         "loss": ["nerf_render", "eikonal", "std", "init_sdf_reg", "occ"],
-        "key_metric_name": "psnr",
+        "key_metric_name": "psnr", "sdf_grad_mode": grad_mode,
     }
     model = NeROShapeModel(cfg, training=True)
     cfg = model.cfg  # defaults merged
