@@ -10,11 +10,23 @@ from nero_tpu.geometry.neural_tracer import NeuralTracer
 
 @pytest.fixture(scope="module")
 def tracer():
+    """Sphere tracer with a PERSISTENT distill cache (tests/.tracer_cache,
+    like the XLA compile cache): first run distills (~50 s on 1 CPU), warm
+    runs load in ~2 s. Cache-keying correctness (mesh hash + hyperparams) is
+    separately covered by test_distill_cache_roundtrip."""
+    import os
     verts, tris = extract_geometry(
         [-1, -1, -1], [1, 1, 1], 48, 0.0,
         lambda p: jnp.linalg.norm(p, axis=-1, keepdims=True) - 0.5)
-    return NeuralTracer(verts, tris, distill_steps=300, distill_samples=120_000,
-                        distill_batch=16384, verbose=False, cache=False)
+    old = NeuralTracer.CACHE_DIR
+    NeuralTracer.CACHE_DIR = os.path.join(os.path.dirname(__file__),
+                                          ".tracer_cache")
+    try:
+        return NeuralTracer(verts, tris, distill_steps=300,
+                            distill_samples=120_000, distill_batch=16384,
+                            verbose=False)
+    finally:
+        NeuralTracer.CACHE_DIR = old
 
 
 def test_distillation_quality(tracer):
@@ -61,6 +73,7 @@ def bowl_mesh():
     return verts, tris
 
 
+@pytest.mark.slow
 def test_concave_multicomponent_agreement(bowl_mesh, tmp_path, monkeypatch):
     """Neural tracer vs exact BVH on concave geometry with self-occlusion.
 
@@ -103,6 +116,7 @@ def test_concave_multicomponent_agreement(bowl_mesh, tmp_path, monkeypatch):
     assert np.sum(ng[both] * nc[both], -1).mean() > 0.95
 
 
+@pytest.mark.slow
 def test_thin_tube_torus_agreement_or_fallback(tmp_path, monkeypatch):
     """Stress: thin-tube high-genus mesh (the 'mirror' scene torus, tube
     radius 0.055 ~ 4 voxels of the distill field) — the family real scenes

@@ -41,14 +41,14 @@ def test_train_step_runs_and_improves(model):
     key = jax.random.PRNGKey(0)
 
     losses = []
-    for i in range(30):
+    for i in range(16):
         k = jax.random.fold_in(key, i)
         params, opt_state, log = step_fn(params, opt_state, k, jnp.asarray(i),
                                          model.train_data)
         losses.append(float(log["loss_rgb"]))
     assert all(np.isfinite(losses))
-    # rgb loss should clearly drop within 30 steps on a tiny scene
-    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+    # rgb loss should clearly drop within 16 steps on a tiny scene
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
     model.params = params
 
 

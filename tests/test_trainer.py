@@ -25,6 +25,7 @@ def _trainer_cfg(tmp_path, total_step):
     return cfg
 
 
+@pytest.mark.slow
 def test_trainer_run_checkpoint_resume(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = _trainer_cfg(tmp_path, total_step=4)
