@@ -66,6 +66,8 @@ def test_compact_post_occ_close_and_differentiable(setup):
     assert abs(float(out_k["loss_occ"][0]) - float(out_full["loss_occ"][0])) < 0.05
 
 
+@pytest.mark.slow  # compact shading is an off-by-default flag; the two quick
+# tests above already cover inactive-parity and post-occ differentiability
 def test_compact_near_full_k_is_near_exact(setup):
     """Dropping only the single smallest-weight sample (k=31 of 32) must
     change the render by at most that sample's weight — the sharp check that

@@ -9,6 +9,8 @@ from nero_tpu.models.multi_scene import MultiSceneShapeModel
 from tests.test_shape_e2e import TINY_CFG
 
 
+@pytest.mark.slow  # ~105 s on the 1-CPU container; the quick suite covers the
+# multi-scene machinery via test_parallel.py::test_scene_by_ray_mesh_matches_per_scene
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
 def test_multi_scene_training():
     cfgs = []

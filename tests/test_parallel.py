@@ -96,6 +96,9 @@ def test_scene_by_ray_mesh_matches_per_scene():
         assert worst < 2e-4, (s, worst)
 
 
+@pytest.mark.slow  # the driver runs the real dryrun every round
+# (MULTICHIP_r0N.json); in the quick suite the combined scene-x-ray program is
+# covered by test_scene_by_ray_mesh_matches_per_scene
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g

@@ -13,7 +13,9 @@ def setup():
     cfg = SDFConfig()
     key = jax.random.PRNGKey(3)
     params = init_sdf(key, cfg)
-    pts = jax.random.uniform(jax.random.fold_in(key, 1), (512, 3),
+    # 256 pts: interpret-mode Pallas dominates quick-suite time; parity
+    # tolerances are per-point, unchanged by batch
+    pts = jax.random.uniform(jax.random.fold_in(key, 1), (256, 3),
                              minval=-0.7, maxval=0.7)
     return cfg, params, pts
 
@@ -35,7 +37,7 @@ def test_forward_parity(setup):
 
 def test_param_grad_parity(setup):
     cfg, params, pts = setup
-    cot = jax.random.normal(jax.random.PRNGKey(9), (512, 256)) * 0.1
+    cot = jax.random.normal(jax.random.PRNGKey(9), (256, 256)) * 0.1
 
     def loss(p, fn, **kw):
         sdf, feats, grad = fn(p, pts, cfg, **kw)
@@ -58,7 +60,7 @@ def test_param_grad_parity(setup):
 def test_grad_matches_fd(setup):
     """Spatial gradient vs finite differences of the kernel's own sdf."""
     cfg, params, pts = setup
-    pts = pts[:512]
+    pts = pts[:256]
     sdf0, _, grad = sdf_with_grad_fused(params, pts, cfg, interpret=True)
     # eps sized above the kernel's bf16 hidden-activation noise floor
     eps = 2e-2
