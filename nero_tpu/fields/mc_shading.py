@@ -57,6 +57,17 @@ class MCShadingConfig(NamedTuple):
     # slower); resolved in ONE place, `hidden_act_dtype`, so direct
     # construction and from_dict agree.
     bf16_hidden: bool | None = None
+    # Hit-compacted inner-light evaluation: gather the traced HIT directions
+    # into K = ceil(frac * pn * sn) static slots (hits-first, stable order),
+    # run the inner-light MLP (fwd AND bwd) only on those, and scatter the
+    # results back over the miss-branch lights. The reference evaluates
+    # inner_light only on actual hits via dynamic torch indexing (reference
+    # network/field.py:812-818) so its cost is hit-rate-adaptive; this is the
+    # fixed-shape XLA equivalent. Hits beyond capacity fall back to the miss
+    # branch (outer light) — NeROMaterialModel resolves frac at init by
+    # measuring the scene's hemisphere hit rate and adding headroom, and
+    # logs if a step could overflow. 0.0 = off (inner MLP on every dir).
+    inner_compact_frac: float = 0.0
 
     @property
     def hidden_act_dtype(self):
@@ -316,13 +327,50 @@ def get_lights(params, cfg: MCShadingConfig, trace_fn, points, directions, human
         human_lights, human_weights = jnp.zeros_like(outer), jnp.zeros_like(outer[..., :1])
     miss_light = outer * (1 - human_weights) + human_lights * human_weights
 
-    inner = get_inner_lights(params, cfg, inters, -directions, normals)
-
-    lights = jnp.where(hit[..., None], inner, miss_light)
+    if cfg.inner_compact_frac > 0.0:
+        lights = _compacted_inner_lights(params, cfg, inters, directions,
+                                         normals, hit, miss_light)
+    else:
+        inner = get_inner_lights(params, cfg, inters, -directions, normals)
+        lights = jnp.where(hit[..., None], inner, miss_light)
     near_mask = (depth > eps).astype(lights.dtype)
     lights = lights * near_mask  # a surface immediately in front emits nothing
     human_contrib = jnp.where(hit[..., None], 0.0, human_lights * human_weights)
     return lights, human_contrib, inters, normals, hit
+
+
+def _compacted_inner_lights(params, cfg, inters, directions, normals, hit,
+                            miss_light):
+    """Inner-light MLP on hit directions only, via static-capacity compaction.
+
+    Hits are packed (stable order) into K = ceil(frac*N) slots with one
+    cumsum + scatter; the MLP runs on the [K] batch and results scatter back
+    over the miss-branch lights. Hits beyond capacity keep the miss light
+    (the same fallback the near-surface mask applies); unfilled slots write
+    to a trash row. Indices carry no gradient (the tracer is stop_gradient'd)
+    so reverse-mode sees plain gather/scatter around a [K]-batch MLP."""
+    shape = hit.shape  # [pn, sn]
+    n = int(np.prod(shape))
+    k = -(-int(n * cfg.inner_compact_frac) // 128) * 128  # lane-multiple
+    k = min(k, n)
+    hit_flat = hit.reshape(-1)
+    rank = jnp.cumsum(hit_flat) - 1                     # rank among hits
+    n_hits = rank[-1] + 1
+    slot = jnp.where(hit_flat, jnp.minimum(rank, k), k)  # misses/overflow -> k
+    # compact_src[i] = flat ray index occupying slot i (trash slot k dropped)
+    compact_src = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:k]
+
+    take = lambda a: a.reshape(n, -1)[compact_src]
+    inner_k = get_inner_lights(params, cfg, take(inters),
+                               -take(directions), take(normals))
+    # slots past the hit count hold stale index 0 — route them to a trash row
+    valid = jnp.arange(k) < n_hits
+    scatter_to = jnp.where(valid, compact_src, n)
+    lights = jnp.concatenate([miss_light.reshape(n, 3),
+                              jnp.zeros((1, 3), miss_light.dtype)], axis=0)
+    lights = lights.at[scatter_to].set(inner_k, mode="drop")
+    return lights[:n].reshape(*shape, 3)
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,11 @@ DEFAULT_MATERIAL_CFG = {
     # hard for the neural tracer — fall back to the exact grid tracer and say
     # so loudly (visibility errors silently poison Stage-II otherwise)
     "tracer_rms_fallback": 0.004,
+    # hit-compacted inner-light evaluation (MCShadingConfig.inner_compact_frac):
+    # 'auto' measures the scene's hemisphere hit rate at init and sizes the
+    # static hit capacity with 1.5x headroom; a float fixes the fraction;
+    # 'off' evaluates the inner-light MLP on every sample direction
+    "inner_compact": "auto",
 }
 
 
@@ -123,6 +128,71 @@ class NeROMaterialModel:
         self._shuffle(rng)
         self._batch_i = 0
         self._rng = rng
+        self._resolve_inner_compact()
+
+    def _resolve_inner_compact(self):
+        """Size the static hit capacity of the compacted inner-light path.
+
+        The reference's inner_light runs only on actual hits (dynamic torch
+        indexing, reference network/field.py:812-818); the fixed-shape
+        equivalent needs a static capacity, so measure this scene's hemisphere
+        hit rate on real surface points with the exact host tracer and add
+        1.5x headroom. Explicit shader_cfg.inner_compact_frac wins."""
+        if (self.cfg.get("shader_cfg") or {}).get("inner_compact_frac") is not None:
+            return
+        mode = self.cfg["inner_compact"]
+        if mode in (0, 0.0, "off", False, None):
+            return
+        frac = float(mode) if mode != "auto" else None
+        if frac is None:
+            rate = self._estimate_hit_rate()
+            frac = min(0.75, 1.5 * rate + 0.05)
+            if frac >= 0.72:
+                print(f"[NeROMaterialModel] inner_compact auto: hemisphere hit "
+                      f"rate {rate:.3f} too high for compaction — keeping the "
+                      f"full-lattice inner-light path")
+                return
+            print(f"[NeROMaterialModel] inner_compact auto: hemisphere hit rate "
+                  f"{rate:.3f} -> inner-light capacity {frac:.3f} of sample dirs")
+        self.mcfg = self.mcfg._replace(inner_compact_frac=frac)
+
+    def _estimate_hit_rate(self, n_pts: int = 256, n_dirs: int = 64) -> float:
+        """Hemisphere self-hit rate: cosine dirs + mirror dirs from a sample
+        of real surface points, traced with the exact host tracer."""
+        rng = np.random.RandomState(0)
+        idx = rng.choice(self.tbn, min(n_pts, self.tbn), replace=False)
+        pts = self.train_batch["inters"][idx]
+        normals = self.train_batch["normals"][idx]
+        normals = normals / np.maximum(
+            np.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+        view = -self.train_batch["rays_d"][idx]
+        refl = (np.sum(view * normals, -1, keepdims=True) * normals * 2 - view)
+
+        # cosine-hemisphere dirs about each normal
+        u = rng.rand(len(pts), n_dirs, 2)
+        phi = 2 * np.pi * u[..., 0]
+        st = np.sqrt(u[..., 1])
+        ct = np.sqrt(1 - u[..., 1])
+        local = np.stack([np.cos(phi) * st, np.sin(phi) * st, ct], -1)
+        a = np.where(np.abs(normals[:, :1]) < 0.9,
+                     np.array([[1.0, 0, 0]]), np.array([[0, 1.0, 0]]))
+        t1 = np.cross(normals, a)
+        t1 /= np.maximum(np.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+        t2 = np.cross(normals, t1)
+        dirs_d = (local[..., :1] * t1[:, None] + local[..., 1:2] * t2[:, None]
+                  + local[..., 2:] * normals[:, None])
+        # mirror dirs with a small jitter (specular lobes concentrate here)
+        jit = rng.randn(len(pts), n_dirs, 3).astype(np.float32) * 0.1
+        dirs_s = refl[:, None] + jit
+        dirs_s /= np.maximum(np.linalg.norm(dirs_s, axis=-1, keepdims=True), 1e-12)
+
+        rates = []
+        for dirs in (dirs_d, dirs_s):
+            o = (pts[:, None] + dirs * 1e-5).reshape(-1, 3).astype(np.float32)
+            d = dirs.reshape(-1, 3).astype(np.float32)
+            _, _, _, hit = self.ray_tracer.trace_cpu(o, d)
+            rates.append(float(np.mean(hit)))
+        return max(rates)
 
     def _image_rays_np(self, K, pose, h, w):
         xs, ys = np.meshgrid(np.arange(w, dtype=np.float32) + 0.5,
@@ -228,7 +298,11 @@ class NeROMaterialModel:
 
     # ------------------------------------------------------------ validation
     def make_shade_chunk(self):
-        mcfg, samples, trace_fn = self.mcfg, self.samples, self.trace_fn
+        # validation/test renders always use the exact full-lattice inner-light
+        # path (same policy as Stage I's shade_top_k: approximations train,
+        # never evaluate)
+        mcfg, samples, trace_fn = (self.mcfg._replace(inner_compact_frac=0.0),
+                                   self.samples, self.trace_fn)
 
         def chunk_fn(params, pts, view_dirs, normals, human_poses):
             colors, outputs = mc_shading_apply(params, mcfg, samples, trace_fn,

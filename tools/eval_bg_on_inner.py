@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VARIANT_SETS = {
     "bg": [("bg_full", {"bg_on_inner": True}), ("bg_outer_only", {"bg_on_inner": False})],
     "bf16": [("f32_hidden", {"bf16_hidden": False}), ("bf16_hidden", {"bf16_hidden": True})],
+    # rev-mode VJP spatial gradient vs the fused Pallas SDF-with-grad kernel
+    "grad": [("grad_rev", {"sdf_grad_mode": "rev"}), ("grad_fused", {"sdf_grad_mode": "fused"})],
 }
 
 

@@ -23,7 +23,7 @@ def main():
     parser.add_argument("--mesh_res", type=int, default=128)
     parser.add_argument("--out", type=str, default="data/demo")
     parser.add_argument("--scene", type=str, default="sphere",
-                        choices=["sphere", "bowl"])
+                        choices=["sphere", "bowl", "mirror", "capture"])
     parser.add_argument("--mesh_method", type=str, default="surface_nets",
                         choices=["surface_nets", "marching_tets"])
     parser.add_argument("--tracers2", type=str, default="neural",
@@ -55,6 +55,11 @@ def main():
         "eikonal_weight": 0.1, "model_root": f"{flags.out}/model",
         "downsample_ratio": 0.5,
     }
+    # 'capture' exercises the GlossyReal config path end to end: the scene is
+    # lit by a camera-collocated point light, the situation the human_light
+    # head models (reference configs/shape/real/bear.yaml:7)
+    if flags.scene == "capture":
+        cfg1["shader_config"] = {"human_light": True}
     trainer1 = Trainer(cfg1)
     params1 = trainer1.run()
     report["stage1_seconds"] = round(time.time() - t0, 1)
@@ -112,7 +117,12 @@ def main():
             "train_log_step": 100,
             "lr_cfg": {"end_warm": 100, "end_iter": flags.steps2},
             "shader_cfg": {"diffuse_sample_num": 128, "specular_sample_num": 64,
-                           "human_lights": False, "outer_light_version": "direction"},
+                           # GlossyReal material deltas (reference
+                           # configs/material/real/bear.yaml:14) on 'capture'
+                           "human_lights": flags.scene == "capture",
+                           "outer_light_version": ("sphere_direction"
+                                                   if flags.scene == "capture"
+                                                   else "direction")},
             "loss": ["nerf_render", "mat_reg"], "val_metric": ["mat_render"],
             "key_metric_name": "psnr", "model_root": f"{flags.out}/model",
         }
