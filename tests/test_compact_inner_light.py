@@ -54,9 +54,11 @@ def test_compacted_matches_full_when_capacity_suffices(hit_rate, frac):
     trace_fn = _make_trace_fn(hit, pn * sn)
     pts_rep = jnp.broadcast_to(pts[:, None], (pn, sn, 3))
 
-    out_full = get_lights(params, cfg_full, trace_fn, pts_rep, dirs, None)
-    out_comp = get_lights(params, cfg_comp, trace_fn, pts_rep, dirs, None)
-    np.testing.assert_allclose(np.asarray(out_full[0]), np.asarray(out_comp[0]), rtol=1e-6, atol=1e-7)
+    out_full = jax.jit(lambda p: get_lights(p, cfg_full, trace_fn,
+                                            pts_rep, dirs, None))(params)
+    out_comp = jax.jit(lambda p: get_lights(p, cfg_comp, trace_fn,
+                                            pts_rep, dirs, None))(params)
+    np.testing.assert_allclose(np.asarray(out_full[0]), np.asarray(out_comp[0]), rtol=1e-5, atol=1e-5)
     # hit mask itself unchanged
     np.testing.assert_array_equal(np.asarray(out_full[4]), np.asarray(out_comp[4]))
 
@@ -75,18 +77,21 @@ def test_overflow_hits_fall_back_to_miss_branch():
     trace_fn = _make_trace_fn(hit, n)
     pts_rep = jnp.broadcast_to(pts[:, None], (pn, sn, 3))
 
-    full = get_lights(params, cfg_full, trace_fn, pts_rep, dirs, None)[0]
-    comp = get_lights(params, cfg_comp, trace_fn, pts_rep, dirs, None)[0]
+    full = jax.jit(lambda p: get_lights(p, cfg_full, trace_fn,
+                                        pts_rep, dirs, None)[0])(params)
+    comp = jax.jit(lambda p: get_lights(p, cfg_comp, trace_fn,
+                                        pts_rep, dirs, None)[0])(params)
     full_f = np.asarray(full).reshape(n, 3)
     comp_f = np.asarray(comp).reshape(n, 3)
     # first 128 (stable order) get the exact inner light
-    np.testing.assert_allclose(comp_f[:128], full_f[:128], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(comp_f[:128], full_f[:128], rtol=1e-5, atol=1e-5)
     # overflow hits differ from inner (they took the miss branch) — verify
     # they equal the outer-light value instead
     from nero_tpu.fields.mc_shading import predict_outer_lights
     outer = np.asarray(predict_outer_lights(params, cfg_comp, pts_rep, dirs)
                        ).reshape(n, 3)
-    np.testing.assert_allclose(comp_f[128:], outer[128:], rtol=1e-6, atol=1e-7)
+    # outer computed eagerly here vs comp under jit: fusion noise ~3e-5
+    np.testing.assert_allclose(comp_f[128:], outer[128:], rtol=1e-4, atol=1e-4)
 
 
 def test_compacted_full_shading_grads_finite():
@@ -110,7 +115,7 @@ def test_compacted_full_shading_grads_finite():
                                      key=jax.random.PRNGKey(5))
         return jnp.mean(colors ** 2)
 
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)  # jit: persistent-cache the compile
     leaves = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
     # inner-light params receive gradient through the compacted gather/scatter

@@ -29,14 +29,21 @@ def setup():
     return scfg, params, batch
 
 
+_JITTED = {}
+
+
 def _run(scfg, params, b, step):
-    def loss(p):
-        out = render(p, scfg, b["fg"], b["rays_o"], b["rays_d"], b["near"],
-                     b["far"], b["hp"], jnp.asarray(step),
-                     key=jax.random.PRNGKey(5), is_train=True)
-        return (jnp.sum(out["ray_rgb"]) + out["loss_occ"][0] * 0.1
-                + out["gradient_error"][0]), out
-    (val, out), grads = jax.jit(jax.value_and_grad(loss, has_aux=True))(params)
+    # one jitted program per scfg, step as a traced arg — avoids retracing
+    # the render grad graph for every (scfg, step) combination
+    if scfg not in _JITTED:
+        def loss(p, step_t):
+            out = render(p, scfg, b["fg"], b["rays_o"], b["rays_d"], b["near"],
+                         b["far"], b["hp"], step_t,
+                         key=jax.random.PRNGKey(5), is_train=True)
+            return (jnp.sum(out["ray_rgb"]) + out["loss_occ"][0] * 0.1
+                    + out["gradient_error"][0]), out
+        _JITTED[scfg] = jax.jit(jax.value_and_grad(loss, has_aux=True))
+    (val, out), grads = _JITTED[scfg](params, jnp.asarray(step))
     return val, out, grads
 
 

@@ -48,6 +48,8 @@ def test_sharded_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow  # ~55 s of trace time (4 full train-step programs); the
+# driver's dryrun_multichip exercises the same combined partitioning each run
 def test_scene_by_ray_mesh_matches_per_scene():
     """Combined ('scene','data') 2x4 partitioning == each scene trained alone."""
     from nero_tpu.models.multi_scene import MultiSceneShapeModel

@@ -44,9 +44,10 @@ def test_grad_parity_no_worse_than_bf16():
     def loss_ker(p, xx):
         return jnp.sum(predictor_fused(p, xx, interpret=True) * cot)
 
-    g32, gx32 = jax.grad(loss_f32, argnums=(0, 1))(layers, x)
-    gbf = jax.grad(loss_bf16, argnums=0)(layers, x)
-    gk, gxk = jax.grad(loss_ker, argnums=(0, 1))(layers, x)
+    # jit so the compiles land in the persistent cache (quick-suite time)
+    g32, gx32 = jax.jit(jax.grad(loss_f32, argnums=(0, 1)))(layers, x)
+    gbf = jax.jit(jax.grad(loss_bf16, argnums=0))(layers, x)
+    gk, gxk = jax.jit(jax.grad(loss_ker, argnums=(0, 1)))(layers, x)
 
     def worst_mean_rel(ga, gb):
         worst = 0.0

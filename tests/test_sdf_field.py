@@ -63,7 +63,7 @@ def test_second_order_gradients_flow():
         _, _, g = sdf_with_grad(p, x, cfg)
         return jnp.mean((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
 
-    grads = jax.grad(loss_fn)(params)
+    grads = jax.jit(jax.grad(loss_fn))(params)
     flat = jax.tree_util.tree_leaves(grads)
     total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
     assert np.isfinite(total) and total > 0

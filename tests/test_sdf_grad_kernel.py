@@ -44,8 +44,10 @@ def test_param_grad_parity(setup):
         eik = jnp.mean((jnp.linalg.norm(grad, axis=-1) - 1.0) ** 2)
         return jnp.mean(sdf ** 2) + 0.1 * eik + jnp.mean(feats * cot)
 
-    g_ref = jax.grad(loss)(params, sdf_with_grad)
-    g_ker = jax.grad(loss)(params, sdf_with_grad_fused, interpret=True)
+    # jit so the compiles land in the persistent cache (quick-suite time)
+    g_ref = jax.jit(jax.grad(lambda p: loss(p, sdf_with_grad)))(params)
+    g_ker = jax.jit(jax.grad(
+        lambda p: loss(p, sdf_with_grad_fused, interpret=True)))(params)
 
     leaves_r, tree_r = jax.tree_util.tree_flatten(g_ref)
     leaves_k, tree_k = jax.tree_util.tree_flatten(g_ker)

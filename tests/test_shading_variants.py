@@ -34,9 +34,9 @@ def test_app_shading_human_and_sphere():
     params = init_app_shading(jax.random.PRNGKey(0), cfg)
     lut = jnp.asarray(compute_fg_lut(res=32, n_samples=64))
     pts, normals, view, feats, poses = _surface_batch()
-    color, occ_info, inter = app_shading_apply(params, cfg, lut, pts, normals,
-                                               view, feats, poses,
-                                               inter_results=True)
+    color, occ_info, inter = jax.jit(lambda p: app_shading_apply(
+        p, cfg, lut, pts, normals, view, feats, poses,
+        inter_results=True))(params)  # jit: persistent-cache compile
     assert color.shape == (16, 3)
     assert np.isfinite(np.asarray(color)).all()
     assert "human_light" in inter
@@ -70,9 +70,9 @@ def test_mc_shading_sphere_direction_human():
         t = jnp.full((n,), 10.0)
         return o + d * t[:, None], jnp.zeros_like(o), t[:, None], jnp.zeros(n, bool)
 
-    colors, outputs = mc_shading_apply(params, cfg, samples, trace_fn, pts,
-                                       view, normals, poses,
-                                       key=jax.random.PRNGKey(2))
+    colors, outputs = jax.jit(lambda p: mc_shading_apply(
+        p, cfg, samples, trace_fn, pts, view, normals, poses,
+        key=jax.random.PRNGKey(2)))(params)  # jit: persistent-cache compile
     assert colors.shape == (8, 3)
     assert np.isfinite(np.asarray(colors)).all()
     for k in ["albedo", "metallic", "roughness", "diffuse_light", "specular_light"]:
