@@ -77,11 +77,17 @@ class ShapeConfig(NamedTuple):
     # render-vs-render 43.6 dB.
     bg_on_inner: bool = False
     # spatial SDF gradient: 'rev' (reverse-mode, reference double-backprop
-    # semantics) or 'fwd' (linearize + 3 basis tangents). Measured on v5e
-    # (tools/bench_stage1_ab.py): fwd is a net loss embedded in the train step
-    # (54.2 vs 42.5 ms) — the 3 extra linear passes cost more than the
-    # VJP-of-VJP they avoid; 'rev' stays the default.
-    sdf_grad_mode: str = "rev"
+    # semantics), 'fwd' (linearize + 3 basis tangents), or 'fused' (Pallas
+    # SDF-with-grad kernel, forward AND backward VMEM-resident). Measured on
+    # v5e (tools/bench_stage1_ab.py): fwd is a net loss embedded in the train
+    # step (54.2 vs 42.5 ms) — the 3 extra linear passes cost more than the
+    # VJP-of-VJP they avoid. 'fused' is the round-3 winner on the
+    # bandwidth-bound step (34.98 -> 29.53 ms @512 rays, 159.95 -> 130.48
+    # @2048; quality gate tools/quality_grad_ab.py: identical 2k-step
+    # learning curves and val PSNR vs 'rev'). None = auto ('fused' where the
+    # TPU kernel supports the topology — see `grad_mode` — else 'rev'),
+    # resolved in ONE place so direct construction and from_dict agree.
+    sdf_grad_mode: str | None = None
     # fused Pallas SDF forward for no-grad paths (proposal sampler, occlusion
     # march) — TPU only, default topology only; ~2x XLA at occ-march batch sizes
     use_fused_sdf: bool = False
@@ -115,6 +121,19 @@ class ShapeConfig(NamedTuple):
         return jnp.bfloat16 if on else None
 
     @property
+    def grad_mode(self) -> str:
+        """Resolved sdf_grad_mode. 'fused' needs the TPU Pallas kernel on the
+        default topology (and d_out=257); it also stores activations in bf16
+        (like bf16_hidden), so it is only auto-chosen where that kernel runs.
+        """
+        fused_ok = _fused_sdf_supported(self) and self.sdf_cfg.d_out == 257
+        if self.sdf_grad_mode is None:
+            return "fused" if fused_ok else "rev"
+        if self.sdf_grad_mode == "fused" and not fused_ok:
+            return "rev"
+        return self.sdf_grad_mode
+
+    @property
     def n_inner(self) -> int:
         return self.n_samples + self.n_importance
 
@@ -141,12 +160,8 @@ def shape_config_from_dict(cfg: dict) -> ShapeConfig:
     # fused shader heads need the TPU Pallas predictor kernel
     if scfg.shader.fused_heads and not _on_tpu():
         scfg = scfg._replace(shader=scfg.shader._replace(fused_heads=False))
-    # sdf_grad_mode 'fused' needs the TPU Pallas kernel + default topology;
-    # it also stores activations in bf16 (like bf16_hidden) so it is only
-    # auto-eligible where bf16_hidden resolves on.
-    if scfg.sdf_grad_mode == "fused" and not (
-            _fused_sdf_supported(scfg) and scfg.sdf_cfg.d_out == 257):
-        scfg = scfg._replace(sdf_grad_mode="rev")
+    # sdf_grad_mode resolution ('fused' auto-default on TPU, fallbacks) lives
+    # in the `grad_mode` property so direct construction and from_dict agree.
     return scfg
 
 
@@ -278,12 +293,12 @@ def _sample_z_vals(params, scfg: ShapeConfig, rays_o, rays_d, near, far, key=Non
 
 def compute_sdf_alpha(params, scfg: ShapeConfig, points, dists, dirs, cos_anneal_ratio, step):
     """NeuS alpha on the inner lattice. points [R,S,3]. Returns alpha, grads, feats, inv_s, sdf."""
-    if scfg.sdf_grad_mode == "fused":
+    if scfg.grad_mode == "fused":
         from nero_tpu.ops.pallas.sdf_grad_kernel import sdf_with_grad_fused
         sdf, feats, grads = sdf_with_grad_fused(params["sdf"], points, scfg.sdf_cfg)
     else:
         sdf, feats, grads = sdf_with_grad(params["sdf"], points, scfg.sdf_cfg,
-                                          mode=scfg.sdf_grad_mode)
+                                          mode=scfg.grad_mode)
     sdf = sdf[..., 0]
     inv_s = jnp.clip(variance_inv_s(params["variance"], scfg.std_act), 1e-6, 1e6)
     if scfg.freeze_inv_s_step is not None:

@@ -1,0 +1,72 @@
+"""Training-quality gate for sdf_grad_mode='fused' (no checkpoint needed).
+
+Trains the Stage-I bowl scene from scratch for N steps under each grad mode
+(identical seeds/data/losses) and reports the smoothed loss_rgb trajectory
+plus a final low-res validation PSNR. The fused Pallas SDF-with-grad kernel
+computes matmuls in bf16 (like the default bf16_hidden path), so the gate is
+"identical per-step learning within run-to-run noise", the same standard the
+reference-parity checks use (tools/compare_reference_convergence.py).
+
+Usage: python tools/quality_grad_ab.py [steps=2000]
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(mode, n_steps, seed=0):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from nero_tpu.models.shape import NeROShapeModel
+    from nero_tpu.utils.color import color_map_backward
+    from nero_tpu.utils.image import compute_psnr
+
+    cfg = {
+        "name": f"qgrad_{mode}_{seed}", "network": "shape",
+        "database_name": "proc/bowl/100_12",
+        "train_ray_num": 512,
+        "occ_loss_step": n_steps // 2,
+        "loss": ["nerf_render", "eikonal", "std", "init_sdf_reg", "occ"],
+        "key_metric_name": "psnr",
+        "sdf_grad_mode": mode,
+        "downsample_ratio": 0.5,
+    }
+    model = NeROShapeModel(cfg, training=True)
+    opt = optax.adam(5e-4)
+    step_fn = model.make_train_step(opt, donate=False)
+    params, opt_state = model.params, opt.init(model.params)
+    key = jax.random.PRNGKey(seed)
+    losses, curve = [], {}
+    for i in range(n_steps):
+        params, opt_state, log = step_fn(
+            params, opt_state, jax.random.fold_in(key, i),
+            jnp.asarray(i), model.train_data)
+        losses.append(log["loss_rgb"])
+        if (i + 1) % max(n_steps // 10, 1) == 0:
+            sm = float(np.mean([float(v) for v in losses[-20:]]))
+            curve[i + 1] = round(sm, 5)
+            print(json.dumps({"mode": mode, "step": i + 1, "loss_rgb": sm}),
+                  flush=True)
+    out = model.test_step(params, 0, step=n_steps)
+    gt = color_map_backward(np.asarray(out["gt_rgb"]))
+    pred = color_map_backward(np.asarray(out["ray_rgb"]))
+    psnr = compute_psnr(gt, pred)
+    print(json.dumps({"mode": mode, "seed": seed, "final_psnr": round(float(psnr), 3),
+                      "curve": curve}), flush=True)
+    return curve, float(psnr)
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    run("rev", n_steps, seed)
+    run("fused", n_steps, seed)
+
+
+if __name__ == "__main__":
+    main()
