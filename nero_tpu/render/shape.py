@@ -124,12 +124,17 @@ class ShapeConfig(NamedTuple):
     def grad_mode(self) -> str:
         """Resolved sdf_grad_mode. 'fused' needs the TPU Pallas kernel on the
         default topology (and d_out=257); it also stores activations in bf16
-        (like bf16_hidden), so it is only auto-chosen where that kernel runs.
+        (like bf16_hidden), so the None auto-default only picks it when bf16
+        activations are also resolved on — an explicit bf16_hidden=False
+        (numerical debugging of the eikonal/second-order path) must not be
+        silently overridden by the kernel's internal bf16 storage.
         """
         fused_ok = _fused_sdf_supported(self) and self.sdf_cfg.d_out == 257
         if self.sdf_grad_mode is None:
-            return "fused" if fused_ok else "rev"
+            return ("fused" if fused_ok and self.hidden_act_dtype is not None
+                    else "rev")
         if self.sdf_grad_mode == "fused" and not fused_ok:
+            _warn_fused_downgrade(self)
             return "rev"
         return self.sdf_grad_mode
 
@@ -170,6 +175,27 @@ def _on_tpu() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+_warned_fused_downgrade = False
+
+
+def _warn_fused_downgrade(scfg: "ShapeConfig") -> None:
+    """One-time loud warning when an explicitly-requested sdf_grad_mode='fused'
+    resolves to 'rev' (non-TPU backend or unsupported SDF topology), so a saved
+    config can't silently claim the fused kernel while every consumer runs the
+    rev path (ADVICE r3)."""
+    global _warned_fused_downgrade
+    if _warned_fused_downgrade:
+        return
+    _warned_fused_downgrade = True
+    import warnings
+    warnings.warn(
+        "sdf_grad_mode='fused' was requested but the fused SDF-grad Pallas "
+        f"kernel is unsupported here (backend={jax.default_backend()}, "
+        f"topology {scfg.sdf_cfg.n_layers}x{scfg.sdf_cfg.d_hidden} "
+        f"d_out={scfg.sdf_cfg.d_out}); falling back to 'rev'.",
+        RuntimeWarning, stacklevel=3)
 
 
 def _fused_sdf_supported(scfg: "ShapeConfig") -> bool:

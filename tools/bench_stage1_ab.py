@@ -33,6 +33,13 @@ def bench_variant(name, extra_cfg):
     }
     cfg.update(extra_cfg)
     model = NeROShapeModel(cfg, training=True)
+    if extra_cfg.get("sdf_grad_mode") is not None:
+        # a silently-downgraded mode (off-TPU 'fused' -> 'rev') would report a
+        # no-op A/B as a real one — fail loudly instead (ADVICE r3)
+        assert model.scfg.grad_mode == extra_cfg["sdf_grad_mode"], (
+            f"variant {name}: sdf_grad_mode={extra_cfg['sdf_grad_mode']!r} "
+            f"resolved to {model.scfg.grad_mode!r} "
+            f"(backend={jax.default_backend()})")
     opt = optax.adam(1e-3)
     step_fn = model.make_train_step(opt, donate=False)
     params = model.params

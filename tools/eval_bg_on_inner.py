@@ -43,6 +43,12 @@ def main():
     for name, extra in variants:
         cfg = dict(base_cfg, **extra)
         model = NeROShapeModel(cfg, training=True)
+        if extra.get("sdf_grad_mode") is not None:
+            # off-TPU, 'fused' silently resolves to 'rev' and the A/B is a
+            # no-op — fail loudly instead (ADVICE r3)
+            assert model.scfg.grad_mode == extra["sdf_grad_mode"], (
+                f"{name}: sdf_grad_mode={extra['sdf_grad_mode']!r} resolved "
+                f"to {model.scfg.grad_mode!r}")
         _, _, params, _ = load_checkpoint(ckpt, model.params)
         out = model.test_step(params, 0, step=30000)
         gt = color_map_backward(np.asarray(out["gt_rgb"]))

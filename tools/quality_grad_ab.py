@@ -37,6 +37,12 @@ def run(mode, n_steps, seed=0):
         "downsample_ratio": 0.5,
     }
     model = NeROShapeModel(cfg, training=True)
+    # Fail loudly if the requested mode silently downgraded (e.g. running this
+    # gate off-TPU would train rev-vs-rev and vacuously "pass") — ADVICE r3.
+    assert model.scfg.grad_mode == mode, (
+        f"requested sdf_grad_mode={mode!r} resolved to "
+        f"{model.scfg.grad_mode!r} (backend={jax.default_backend()}); "
+        "this A/B must run where the fused kernel is supported")
     opt = optax.adam(5e-4)
     step_fn = model.make_train_step(opt, donate=False)
     params, opt_state = model.params, opt.init(model.params)
@@ -56,16 +62,40 @@ def run(mode, n_steps, seed=0):
     gt = color_map_backward(np.asarray(out["gt_rgb"]))
     pred = color_map_backward(np.asarray(out["ray_rgb"]))
     psnr = compute_psnr(gt, pred)
-    print(json.dumps({"mode": mode, "seed": seed, "final_psnr": round(float(psnr), 3),
-                      "curve": curve}), flush=True)
-    return curve, float(psnr)
+
+    # geometry endpoints (VERDICT r3 #9): extracted-mesh Chamfer against the
+    # dense eval cloud + mesh-vertex |SDF| MAE against the analytic bowl field
+    from nero_tpu.dataset.database import (get_database_eval_points,
+                                           parse_database_name)
+    from nero_tpu.dataset.synthetic import scene_sdf
+    from nero_tpu.fields.sdf import sdf_value
+    from nero_tpu.geometry.chamfer import chamfer_distance
+    from nero_tpu.geometry.isosurface import extract_geometry
+
+    scfg = model.scfg
+    verts, tris = extract_geometry(
+        [-1.01] * 3, [1.01] * 3, 128, 0.0,
+        lambda p: sdf_value(params["sdf"], p, scfg.sdf_cfg))
+    gt_pts = get_database_eval_points(parse_database_name("proc/bowl/256_24"),
+                                      voxel_size=0.005)
+    chamfer, _, _ = chamfer_distance(np.asarray(verts), gt_pts)
+    sdf_mae = float(np.abs(scene_sdf("bowl")(np.asarray(verts))).mean())
+    rec = {"mode": mode, "seed": seed, "final_psnr": round(float(psnr), 3),
+           "chamfer": round(float(chamfer), 5),
+           "mesh_sdf_mae": round(sdf_mae, 5), "curve": curve}
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    run("rev", n_steps, seed)
-    run("fused", n_steps, seed)
+    recs = [run("rev", n_steps, seed), run("fused", n_steps, seed)]
+    out = f"data/quality_grad_ab_{n_steps}.json"
+    os.makedirs("data", exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(recs, f, indent=2)
+    print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":
