@@ -10,41 +10,57 @@ from nero_tpu.parallel.mesh import make_data_mesh
 from tests.test_shape_e2e import TINY_CFG
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_step_matches_single_device():
+def _run_mesh_step(mesh):
     cfg = dict(TINY_CFG)
     cfg["train_ray_num"] = 64
     # This test checks sharding correctness via near-bitwise parity; bf16
     # hidden activations make 8-way reduction order visible in the grads,
     # which Adam amplifies to ~2x lr on near-zero-grad params. Pin f32.
     cfg["bf16_hidden"] = False
+    model = NeROShapeModel(cfg, training=True, mesh=mesh)
+    opt = optax.adam(1e-3)
+    step_fn = model.make_train_step(opt, donate=False)
+    opt_state = opt.init(model.params)
+    params, _, log = step_fn(model.params, opt_state, jax.random.PRNGKey(0),
+                             jnp.asarray(0), model.train_data)
+    return params, {k: float(v) for k, v in log.items()}
 
-    mesh8 = make_data_mesh(jax.devices()[:8])
-    mesh1 = make_data_mesh(jax.devices()[:1])
+
+_single_device_result = {}
+
+
+def _reference_result():
+    """Single-device step, cached across the parity tests (one trace)."""
+    if not _single_device_result:
+        _single_device_result["m1"] = _run_mesh_step(
+            make_data_mesh(jax.devices()[:1]))
+    return _single_device_result["m1"]
+
+
+def _assert_step_parity(mesh, name):
+    params1, log1 = _reference_result()
+    params_o, log_o = _run_mesh_step(mesh)
+    for k in log1:
+        np.testing.assert_allclose(log_o[k], log1[k], rtol=2e-3,
+                                   atol=1e-5, err_msg=f"{name}:{k}")
+    l1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(params1)]
+    lo = [np.asarray(x) for x in jax.tree_util.tree_leaves(params_o)]
+    worst = max(float(np.max(np.abs(a - b))) for a, b in zip(l1, lo))
+    assert worst < 2e-4, (name, worst)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_matches_single_device():
+    _assert_step_parity(make_data_mesh(jax.devices()[:8]), "m8")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow  # a third full train-step trace (~15 s); the driver's
+# dryrun_multichip executes this exact ('slice','data') shape every round,
+# and the quick suite covers 8-way parity above
+def test_multislice_step_matches_single_device():
     # multi-slice shape: ('slice','data') 2x4 — same step, hierarchical reduce
-    mesh2x4 = make_data_mesh(jax.devices()[:8], n_slices=2)
-
-    logs = {}
-    params_out = {}
-    for name, mesh in [("m8", mesh8), ("m1", mesh1), ("m2x4", mesh2x4)]:
-        model = NeROShapeModel(dict(cfg), training=True, mesh=mesh)
-        opt = optax.adam(1e-3)
-        step_fn = model.make_train_step(opt, donate=False)
-        opt_state = opt.init(model.params)
-        params, _, log = step_fn(model.params, opt_state, jax.random.PRNGKey(0),
-                                 jnp.asarray(0), model.train_data)
-        logs[name] = {k: float(v) for k, v in log.items()}
-        params_out[name] = params
-
-    for other in ("m8", "m2x4"):
-        for k in logs["m1"]:
-            np.testing.assert_allclose(logs[other][k], logs["m1"][k], rtol=2e-3,
-                                       atol=1e-5, err_msg=f"{other}:{k}")
-        # updated parameters agree across mesh shapes
-        l1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(params_out["m1"])]
-        lo = [np.asarray(x) for x in jax.tree_util.tree_leaves(params_out[other])]
-        worst = max(float(np.max(np.abs(a - b))) for a, b in zip(l1, lo))
-        assert worst < 2e-4, (other, worst)
+    _assert_step_parity(make_data_mesh(jax.devices()[:8], n_slices=2), "m2x4")
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

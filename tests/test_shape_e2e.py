@@ -33,28 +33,34 @@ def model():
     return NeROShapeModel(dict(TINY_CFG), training=True)
 
 
-def test_train_step_runs_and_improves(model):
+@pytest.fixture(scope="module")
+def step_ctx(model):
+    """One (opt, jitted step) shared module-wide: a fresh make_train_step per
+    test retraces the full train-step graph (~6 s on this 1-core container)."""
     opt = optax.adam(1e-3)
-    step_fn = model.make_train_step(opt, donate=False)
+    return opt, model.make_train_step(opt, donate=False)
+
+
+def test_train_step_runs_and_improves(model, step_ctx):
+    opt, step_fn = step_ctx
     params = model.params
     opt_state = opt.init(params)
     key = jax.random.PRNGKey(0)
 
     losses = []
-    for i in range(16):
+    for i in range(10):
         k = jax.random.fold_in(key, i)
         params, opt_state, log = step_fn(params, opt_state, k, jnp.asarray(i),
                                          model.train_data)
         losses.append(float(log["loss_rgb"]))
     assert all(np.isfinite(losses))
-    # rgb loss should clearly drop within 16 steps on a tiny scene
-    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
+    # rgb loss should clearly drop within 10 steps on a tiny scene
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
     model.params = params
 
 
-def test_log_contains_expected_keys(model):
-    opt = optax.adam(1e-3)
-    step_fn = model.make_train_step(opt, donate=False)
+def test_log_contains_expected_keys(model, step_ctx):
+    opt, step_fn = step_ctx
     opt_state = opt.init(model.params)
     _, _, log = step_fn(model.params, opt_state, jax.random.PRNGKey(1),
                         jnp.asarray(10), model.train_data)
