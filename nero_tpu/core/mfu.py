@@ -33,18 +33,106 @@ def peak_flops_per_sec(device=None) -> float:
 
 
 def compiled_flops(jitted_fn, *args, **kwargs) -> float:
-    """FLOPs of one invocation, from XLA's compiled cost analysis.
+    """Total FLOPs of one invocation: XLA cost analysis + Pallas kernels.
 
-    Returns 0.0 if the backend doesn't expose cost analysis (never on
-    TPU/CPU in this image).
+    XLA's ``cost_analysis()`` reports 0 FLOPs for ``tpu_custom_call``, so a
+    step whose hot math lives in a Pallas kernel looks artificially cheap
+    (VERDICT r3: driver-visible Stage-I "MFU" fell 19%→13% the round the
+    fused SDF-grad kernel became the default while the step got 18% faster).
+    This sums both; use :func:`flops_breakdown` for the split.
+
+    Returns 0.0 if the backend doesn't expose cost analysis.
     """
+    b = flops_breakdown(jitted_fn, *args, **kwargs)
+    return b["total"]
+
+
+def flops_breakdown(jitted_fn, *args, **kwargs) -> dict:
+    """{'xla', 'pallas', 'total', 'pallas_by_kernel', 'unknown_custom_calls'}.
+
+    Pallas FLOPs come from each kernel's closed-form ``hlo_flops`` counter
+    (static shapes; exact matmul counts), matched to the compiled module's
+    ``tpu_custom_call`` instructions by kernel name + operand/result shapes.
+    Limitation (same as XLA's own analysis): an instruction inside a
+    while/scan body is counted once, not per trip — no kernel here is
+    invoked inside a loop body.
+    """
+    out = {"xla": 0.0, "pallas": 0.0, "total": 0.0, "pallas_by_kernel": {},
+           "unknown_custom_calls": 0}
     try:
-        ca = jitted_fn.lower(*args, **kwargs).compile().cost_analysis()
+        compiled = jitted_fn.lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        out["xla"] = float(ca.get("flops", 0.0))
     except Exception:
-        return 0.0
+        return out
+    try:
+        pallas, by_kernel, unknown = pallas_flops_of_text(compiled.as_text())
+        out["pallas"] = pallas
+        out["pallas_by_kernel"] = by_kernel
+        out["unknown_custom_calls"] = unknown
+    except Exception:
+        pass
+    out["total"] = out["xla"] + out["pallas"]
+    return out
+
+
+# modules that publish `hlo_flops(name, out_shapes, in_shapes) -> float|None`
+_KERNEL_MODULES = (
+    "nero_tpu.ops.pallas.sdf_grad_kernel",
+    "nero_tpu.ops.pallas.sdf_kernel",
+    "nero_tpu.ops.pallas.field_kernel",
+    "nero_tpu.ops.pallas.march_kernel",
+    "nero_tpu.ops.pallas.predictor_kernel",
+)
+
+
+def pallas_flops_of_text(hlo_text: str):
+    """Sum analytic FLOPs over every tpu_custom_call in compiled HLO text.
+
+    Returns (total_flops, {kernel_name: flops}, n_unmatched_calls). Kernel
+    identity comes from the pallas_call ``name=`` (visible in the op_name
+    metadata as ".../<name>/pallas_call"); shapes come from the instruction's
+    result type and operand_layout_constraints.
+    """
+    import importlib
+    import re
+
+    counters = [importlib.import_module(m).hlo_flops for m in _KERNEL_MODULES]
+    shape_re = re.compile(r"[a-z]+[0-9]+\[([0-9,]*)\]")
+    name_re = re.compile(r'op_name="[^"]*?([A-Za-z0-9_]+)/pallas_call')
+
+    total, by_kernel, unknown = 0.0, {}, 0
+    for line in hlo_text.splitlines():
+        if 'custom_call_target="tpu_custom_call"' not in line:
+            continue
+        head, _, tail = line.partition(" custom-call")
+        outs = [tuple(int(d) for d in m.group(1).split(",") if d)
+                for m in shape_re.finditer(head.split("=", 1)[-1])]
+        opconst = re.search(r"operand_layout_constraints=\{([^}]*)\}", tail)
+        ins = [tuple(int(d) for d in m.group(1).split(",") if d)
+               for m in shape_re.finditer(opconst.group(1))] if opconst else []
+        nm = name_re.search(tail)
+        if nm:
+            name = nm.group(1)
+        else:
+            # fall back to the HLO instruction name (XLA names the
+            # custom-call after the pallas_call, plus a ".N" suffix)
+            im = re.match(r"\s*(?:ROOT\s+)?%([A-Za-z0-9_]+?)(?:\.\d+)?\s*$",
+                          head.split("=", 1)[0])
+            name = im.group(1) if im else ""
+        flops = None
+        for counter in counters:
+            flops = counter(name, outs, ins)
+            if flops is not None:
+                break
+        if flops is None:
+            unknown += 1
+        else:
+            total += flops
+            by_kernel[name] = by_kernel.get(name, 0.0) + flops
+    return total, by_kernel, unknown
 
 
 def mfu(flops_per_step: float, step_time_s: float, device=None) -> float:

@@ -78,6 +78,7 @@ def _field_fwd_t(pts_t, packed, pe: int = 6, interpret: bool = False):
     names = ["w0", "b0", "w1", "b1", "w2", "b2", "w3t", "b3"]
     out = pl.pallas_call(
         functools.partial(_kernel, pe=pe),
+        name="nero_field_fwd",
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=(n // BLOCK_N,),
         in_specs=[pl.BlockSpec((8, BLOCK_N), lambda i: (0, i),
@@ -88,6 +89,17 @@ def _field_fwd_t(pts_t, packed, pe: int = 6, interpret: bool = False):
         interpret=interpret,
     )(pts_t, *[packed[k] for k in names])
     return out[0]
+
+
+# per-point matmul FLOPs of the 4-layer field (w0 [48,128], w1/w2 [128,128],
+# w3t [128,8]); published for core/mfu.py's Pallas FLOP accounting
+POINT_FLOPS = 2 * (FEAT_PAD * 128 + 2 * 128 * 128 + 128 * 8)
+
+
+def hlo_flops(name: str, out_shapes, in_shapes):
+    if name == "nero_field_fwd":
+        return float(out_shapes[0][1]) * POINT_FLOPS   # out (8, N)
+    return None
 
 
 def field_fwd_fused(packed, pts: jnp.ndarray, pe: int = 6,

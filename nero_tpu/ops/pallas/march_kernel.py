@@ -131,6 +131,9 @@ def _march_t(rays_t, packed, pe: int, n_coarse: int, n_refine: int,
     return pl.pallas_call(
         functools.partial(_march_kernel, pe=pe, n_coarse=n_coarse,
                           n_refine=n_refine, t0=t0),
+        # field evals/ray = n_coarse + n_refine, encoded in the name so
+        # core/mfu.py can recover the trip counts from the compiled HLO
+        name=f"nero_march_c{n_coarse}_r{n_refine}",
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=(n // BLOCK_R,),
         in_specs=[pl.BlockSpec((8, BLOCK_R), lambda i: (0, i),
@@ -140,6 +143,19 @@ def _march_t(rays_t, packed, pe: int, n_coarse: int, n_refine: int,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(rays_t, *[packed[k] for k in names])
+
+
+def hlo_flops(name: str, out_shapes, in_shapes):
+    """Matmul FLOPs of one march invocation: rays x (n_coarse + n_refine)
+    field evals, each the same 4-layer MLP as field_kernel."""
+    import re as _re
+
+    from nero_tpu.ops.pallas.field_kernel import POINT_FLOPS
+    m = _re.fullmatch(r"nero_march_c(\d+)_r(\d+)", name)
+    if m is None:
+        return None
+    evals = int(m.group(1)) + int(m.group(2))
+    return float(out_shapes[0][1]) * evals * POINT_FLOPS   # out (8, N)
 
 
 def march_fused(packed, rays_o, rays_d, t_enter, t_exit, *, pe: int = 6,

@@ -150,6 +150,7 @@ def _fwd_call(x_pad, packed, interpret=False):
     grid = (n // BB,)
     return pl.pallas_call(
         _fwd_kernel,
+        name="nero_predictor_fwd",
         out_shape=jax.ShapeDtypeStruct((n, DO), jnp.float32),
         grid=grid,
         in_specs=[pl.BlockSpec((BB, DI), lambda i: (i, 0),
@@ -169,6 +170,7 @@ def _bwd_call(x_pad, gout, packed, interpret=False):
                                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bwd_kernel,
+        name="nero_predictor_bwd",
         out_shape=(jax.ShapeDtypeStruct((n, DI), jnp.float32),
                    jax.ShapeDtypeStruct((DI, HID), jnp.float32),
                    jax.ShapeDtypeStruct((HID, HID), jnp.float32),
@@ -186,6 +188,21 @@ def _bwd_call(x_pad, gout, packed, interpret=False):
                    acc(8, HID)),
         interpret=interpret,
     )(x_pad, gout, *packed)
+
+
+def hlo_flops(name: str, out_shapes, in_shapes):
+    """Matmul FLOPs of one head invocation (core/mfu.py accounting)."""
+    if name == "nero_predictor_fwd":
+        n, di = in_shapes[0]
+        do = out_shapes[0][1]
+        return 2.0 * n * (di * HID + 2 * HID * HID + HID * do)
+    if name == "nero_predictor_bwd":
+        n, di = in_shapes[0]
+        do = in_shapes[1][1]
+        # recompute z1..z3 + reverse sweep (dw4,gz3,dw3,gz2,dw2,gz1,dw1,dx)
+        return 2.0 * n * (di * HID + 2 * HID * HID
+                          + 2 * HID * do + 4 * HID * HID + 2 * di * HID)
+    return None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

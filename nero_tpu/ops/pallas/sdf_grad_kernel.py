@@ -362,6 +362,7 @@ def _fwd_call(pts8, packed_tuple, beta, scale, interpret=False):
     grid = (n // bb,)
     sg, feats = pl.pallas_call(
         functools.partial(_fwd_kernel, beta=beta, scale=scale, bb=bb),
+        name="nero_sdf_grad_fwd",
         out_shape=(jax.ShapeDtypeStruct((n, 8), jnp.float32),
                    jax.ShapeDtypeStruct((n, 256), jnp.float32)),
         grid=grid,
@@ -385,6 +386,7 @@ def _bwd_call(pts8, gsg, gfeats, packed_tuple, beta, scale, interpret=False):
                                       memory_space=pltpu.VMEM)
     dw0, dwmid, dw4b, dw8, db = pl.pallas_call(
         functools.partial(_bwd_kernel, beta=beta, scale=scale, bb=bb),
+        name="nero_sdf_grad_bwd",
         out_shape=(jax.ShapeDtypeStruct((PE_PAD, 256), jnp.float32),
                    jax.ShapeDtypeStruct((7, 256, 256), jnp.float32),
                    jax.ShapeDtypeStruct((PE_PAD, 256), jnp.float32),
@@ -431,6 +433,37 @@ def _sdf_core_bwd(beta, scale, interpret, res, cots):
 
 
 _sdf_core.defvjp(_sdf_core_fwd, _sdf_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# analytic FLOP accounting (core/mfu.py; XLA's cost_analysis reports 0 for
+# custom calls, so the kernel publishes its own closed-form matmul counts)
+# ---------------------------------------------------------------------------
+
+# sum of K*N over the forward matmuls (rows are the 4x-stacked point block)
+_K_FWD = 2 * PE_PAD * 256 + 7 * 256 * 256 + 256 * OUT_PAD
+# reverse sweep: dW outer products + cotangent back-matmuls
+_K_REV = (2 * 256 * OUT_PAD                    # dw8 + gh8
+          + 6 * 2 * 256 * 256                  # layers 7,6,5,3,2,1
+          + 256 * 256 + PE_PAD * 256 + 256 * 256   # layer 4 (skip)
+          + PE_PAD * 256)                      # dw0
+
+
+def hlo_flops(name: str, out_shapes, in_shapes):
+    """Matmul FLOPs of one kernel invocation, from its HLO shapes.
+
+    The 4x row stacking (primal + 3 tangent blocks) rides every matmul; the
+    backward recomputes the forward in VMEM before the reverse sweep.
+    Elementwise/transcendental ops are <2% here and are not counted
+    (verified against XLA cost analysis of the equivalent unfused math in
+    tests/test_mfu.py)."""
+    if name == "nero_sdf_grad_fwd":
+        n = out_shapes[0][0]                   # (n, 8)
+        return 2.0 * 4 * n * _K_FWD
+    if name == "nero_sdf_grad_bwd":
+        n = in_shapes[0][0]                    # pts8 (n, 8)
+        return 2.0 * 4 * n * (_K_FWD + _K_REV)
+    return None
 
 
 def sdf_with_grad_fused(params, x: jnp.ndarray, cfg: SDFConfig,

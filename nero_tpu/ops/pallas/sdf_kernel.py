@@ -121,6 +121,7 @@ def _sdf_fwd_padded(pts_padded, packed, multires: int, interpret: bool = False):
     weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in names]
     out = pl.pallas_call(
         functools.partial(_kernel, multires=multires),
+        name="nero_sdf_fwd",
         out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
         grid=grid,
         in_specs=[pl.BlockSpec((BLOCK, 128), lambda i: (i, 0),
@@ -130,6 +131,18 @@ def _sdf_fwd_padded(pts_padded, packed, multires: int, interpret: bool = False):
         interpret=interpret,
     )(pts_padded, *[packed[k] for k in names])
     return out[:, 0]
+
+
+# per-row matmul FLOPs: w0 [128,256], w1..w3 [256,256], skip (w4a [256,256]
+# + w4b [128,256]), w5..w7 [256,256], w8 [256,128]
+_ROW_FLOPS = 2 * (128 * 256 + 3 * 256 * 256 + 256 * 256 + 128 * 256
+                  + 3 * 256 * 256 + 256 * 128)
+
+
+def hlo_flops(name: str, out_shapes, in_shapes):
+    if name == "nero_sdf_fwd":
+        return float(out_shapes[0][0]) * _ROW_FLOPS    # out (n, 128)
+    return None
 
 
 def sdf_fwd_fused(packed, pts: jnp.ndarray, cfg: SDFConfig,

@@ -88,6 +88,16 @@ class ShapeConfig(NamedTuple):
     # TPU kernel supports the topology — see `grad_mode` — else 'rev'),
     # resolved in ONE place so direct construction and from_dict agree.
     sdf_grad_mode: str | None = None
+    # rematerialize the appearance shader in the backward pass
+    # (jax.checkpoint, nothing_saveable), trading recompute FLOPs for the
+    # saved-activation bytes of the 6 predictor heads + IDE encodings.
+    # MEASURED ON v5e AND REJECTED as the default
+    # (tools/bench_stage1_ab.py remat): 29.65 -> 32.68 ms @512 rays,
+    # 130.4 -> 145.4 @2048 — on this step the shader recompute (incl. the
+    # IDE/PE transcendentals) costs more than the bytes it saves; XLA's
+    # fusion already avoids round-tripping most elementwise intermediates.
+    # Kept as measured infrastructure. None = auto (currently off).
+    remat_shader: bool | None = None
     # fused Pallas SDF forward for no-grad paths (proposal sampler, occlusion
     # march) — TPU only, default topology only; ~2x XLA at occ-march batch sizes
     use_fused_sdf: bool = False
@@ -137,6 +147,12 @@ class ShapeConfig(NamedTuple):
             _warn_fused_downgrade(self)
             return "rev"
         return self.sdf_grad_mode
+
+    @property
+    def use_remat_shader(self) -> bool:
+        """Resolved remat_shader (None = auto: off — measured net loss on
+        v5e, see the field comment)."""
+        return bool(self.remat_shader)
 
     @property
     def n_inner(self) -> int:
@@ -456,9 +472,18 @@ def _render_core(params, scfg: ShapeConfig, fg_lut, rays_o, rays_d, z_full, huma
         [inner_in, jnp.zeros((r, s_total - s_inner), bool)], axis=1)
     rgb_bg_part = jnp.sum(color_bg * (weights * ~mask_sdf)[..., None], axis=1)
 
+    # remat: don't save the shader's hidden activations for the backward —
+    # recompute them (see ShapeConfig.remat_shader). nothing_saveable cuts
+    # the most bytes on this HBM-bound step.
+    shader_apply = app_shading_apply
+    if is_train and scfg.use_remat_shader:
+        shader_apply = jax.checkpoint(
+            app_shading_apply, static_argnums=(1,),
+            policy=jax.checkpoint_policies.nothing_saveable)
+
     def shade_full(_):
         """Reference semantics: shade all inner-lattice samples."""
-        color_sdf, occ_info = app_shading_apply(
+        color_sdf, occ_info = shader_apply(
             params["shader"], scfg.shader, fg_lut, pts_in, grads, -dirs_in,
             feats, hp_in)
         w_sdf = weights[:, :s_inner] * inner_in
@@ -497,7 +522,7 @@ def _render_core(params, scfg: ShapeConfig, fg_lut, rays_o, rays_d, z_full, huma
         dirsk = sel2(dirs_in)
         hpk = sel2(hp_in.reshape(r, s_inner, 12)).reshape(r, k, 3, 4)
         sdfk = jnp.einsum("rks,rs->rk", onehot, sdf)
-        colork, occk = app_shading_apply(
+        colork, occk = shader_apply(
             params["shader"], scfg.shader, fg_lut, ptsk, gradsk, -dirsk,
             featsk, hpk)
         rgb = rgb_bg_part + jnp.sum(colork * wk[..., None], axis=1)

@@ -81,6 +81,16 @@ def main():
             ("bgfast", {"bg_on_inner": False}),
             ("fwdgrad", {"bg_on_inner": False, "sdf_grad_mode": "fwd"}),
         ]
+    if len(_sys.argv) > 1 and _sys.argv[1] == "remat":
+        # shader remat (jax.checkpoint nothing_saveable) vs stored activations
+        variants = [
+            ("remat_off_512", {"remat_shader": False}),
+            ("remat_on_512", {"remat_shader": True}),
+            ("remat_off_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
+                                "remat_shader": False}),
+            ("remat_on_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
+                               "remat_shader": True}),
+        ]
     if len(_sys.argv) > 1 and _sys.argv[1] == "bf16":
         variants = [
             ("bf16_hidden", {"bf16_hidden": True}),

@@ -76,6 +76,11 @@ def main():
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
         byt = float(ca.get("bytes accessed", 0.0))
+        # XLA reports 0 FLOPs inside tpu_custom_call; add the kernels'
+        # closed-form counts (the kernels' HBM traffic is their operands +
+        # results, which XLA's bytes-accessed does include)
+        pallas_flops, _, _ = mfu_mod.pallas_flops_of_text(compiled.as_text())
+        flops += pallas_flops
 
         for i in range(10):
             params, opt_state, log = jitted(params, opt_state, jax.random.fold_in(key, i))
@@ -93,6 +98,7 @@ def main():
             "step_ms": round(step_s * 1e3, 2),
             "rays_per_sec": round(rays / step_s, 1),
             "gflops_per_step": round(flops / 1e9, 2),
+            "gflops_pallas": round(pallas_flops / 1e9, 2),
             "gbytes_per_step": round(byt / 1e9, 3),
             "intensity_flop_per_byte": round(flops / max(byt, 1.0), 1),
             "tflops_per_sec": round(flops / step_s / 1e12, 2),
