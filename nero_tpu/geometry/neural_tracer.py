@@ -135,10 +135,12 @@ def distill_field(vertices, triangles, bvh_np, *, width=128, depth=4, pe=6,
 # Tracing
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_coarse", "n_refine", "use_fused"))
+@partial(jax.jit, static_argnames=("n_coarse", "n_refine", "use_fused",
+                                   "march_mode", "n_sphere", "margin"))
 def neural_trace(params, packed, rays_o, rays_d, bound: float, far=10.0,
                  n_coarse: int = 32, n_refine: int = 8, t0: float = 0.012,
-                 use_fused: bool = False):
+                 use_fused: bool = False, march_mode: str = "uniform",
+                 n_sphere: int = 16, margin: float = 0.003):
     """March the field, find the first +->- sign change, bisect, grad normal.
 
     Returns (t [R], normal [R,3] inward (-grad), hit [R]). With use_fused the
@@ -158,9 +160,19 @@ def neural_trace(params, packed, rays_o, rays_d, bound: float, far=10.0,
     valid = sphere_hit & (t_exit > t_enter)
 
     if use_fused:
-        from nero_tpu.ops.pallas.march_kernel import march_fused
-        t_mid, found = march_fused(packed, rays_o, rays_d, t_enter, t_exit,
-                                   n_coarse=n_coarse, n_refine=n_refine, t0=t0)
+        if march_mode == "sphere":
+            # sphere trace: steps scale with |field| (it IS an approximate
+            # SDF) — same bracket+bisect contract at ~60% of the field evals
+            from nero_tpu.ops.pallas.march_kernel import sphere_march_fused
+            t_mid, found = sphere_march_fused(
+                packed, rays_o, rays_d, t_enter, t_exit, n_sphere=n_sphere,
+                n_refine=n_refine, t0=t0, margin=margin,
+                dt_frac=1.0 / (n_coarse - 1))
+        else:
+            from nero_tpu.ops.pallas.march_kernel import march_fused
+            t_mid, found = march_fused(packed, rays_o, rays_d, t_enter,
+                                       t_exit, n_coarse=n_coarse,
+                                       n_refine=n_refine, t0=t0)
         hit = found & valid
         t_hit = jnp.where(hit, t_mid, far)
     else:
@@ -223,10 +235,13 @@ class NeuralTracer:
                  pe: int = 6, distill_steps: int = 3000, n_coarse: int = 32,
                  n_refine: int = 8, seed: int = 0, verbose: bool = True,
                  use_fused: bool | None = None, cache: bool = True,
-                 distill_samples: int = 1_500_000, distill_batch: int = 65536):
+                 distill_samples: int = 1_500_000, distill_batch: int = 65536,
+                 march_mode: str = "uniform", n_sphere: int = 16):
         self.far = far
         self.n_coarse = n_coarse
         self.n_refine = n_refine
+        self.march_mode = march_mode
+        self.n_sphere = n_sphere
         self._bvh_tracer = RayTracer(vertices, triangles, far=far)
         self.bound = float(np.linalg.norm(vertices, axis=-1).max() * 1.05 + 0.02)
         cached = self._load_cache(vertices, triangles, width, depth, pe,
@@ -302,11 +317,17 @@ class NeuralTracer:
         params, packed, bound, far = (self.field_params, self.packed,
                                       self.bound, self.far)
         n_coarse, n_refine, use_fused = self.n_coarse, self.n_refine, self.use_fused
+        march_mode, n_sphere = self.march_mode, self.n_sphere
+        # sphere-trace safety margin against field error: 3x the measured
+        # near-band distill RMS (the field must not claim "far" when near)
+        margin = max(0.002, 3.0 * float(self.distill_rms))
 
         def fn(rays_o, rays_d):
             t, normal, hit = neural_trace(params, packed, rays_o, rays_d,
                                           bound, far, n_coarse, n_refine,
-                                          use_fused=use_fused)
+                                          use_fused=use_fused,
+                                          march_mode=march_mode,
+                                          n_sphere=n_sphere, margin=margin)
             inters = rays_o + rays_d * t[:, None]
             return inters, normal, t[:, None], hit
         return fn

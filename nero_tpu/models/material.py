@@ -56,6 +56,11 @@ DEFAULT_MATERIAL_CFG = {
     "tracer": "neural",
     "tracer_distill_steps": 3000,
     "tracer_n_coarse": 32,
+    # 'uniform' = fixed n_coarse-sample scan; 'sphere' = fixed n_sphere-
+    # iteration sphere trace of the distilled SDF (same bracket+bisect,
+    # ~60% of the field evals; ops/pallas/march_kernel.py)
+    "tracer_march_mode": "uniform",
+    "tracer_n_sphere": 16,
     # if the distilled field's near-band RMS exceeds this, the mesh is too
     # hard for the neural tracer — fall back to the exact grid tracer and say
     # so loudly (visibility errors silently poison Stage-II otherwise)
@@ -95,6 +100,8 @@ class NeROMaterialModel:
                 self.vertices, self.triangles,
                 distill_steps=self.cfg["tracer_distill_steps"],
                 n_coarse=self.cfg["tracer_n_coarse"],
+                march_mode=self.cfg["tracer_march_mode"],
+                n_sphere=self.cfg["tracer_n_sphere"],
                 seed=self.cfg["random_seed"])
             threshold = self.cfg["tracer_rms_fallback"]
             if self.ray_tracer.distill_rms > threshold:

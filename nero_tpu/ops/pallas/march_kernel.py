@@ -145,13 +145,136 @@ def _march_t(rays_t, packed, pe: int, n_coarse: int, n_refine: int,
     )(rays_t, *[packed[k] for k in names])
 
 
+def _sphere_march_kernel(rays_ref, w0, b0, w1, b1, w2, b2, w3t, b3, out_ref, *,
+                         pe, n_sphere, n_refine, t0, margin, lip, dt_frac,
+                         cap_frac):
+    """Fixed-iteration sphere trace of the distilled SDF + bisection.
+
+    The uniform coarse march (_march_kernel) pays n_coarse field evals per
+    ray regardless of where the surface is. The distilled field IS an
+    approximate SDF, so step lengths can scale with |f| (classic sphere
+    tracing): big leaps through empty space, automatic refinement near the
+    surface — the same first-crossing bracket in ~half the evals. Floors and
+    caps keep it honest against field error:
+      step = clip(lip*f - margin, dt_min, cap)     per iteration
+    dt_min = dt_frac * chord reproduces the uniform march's thin-feature
+    floor near surfaces (where f is small, steps never exceed what the
+    uniform march would take anyway); margin (~3x distill RMS) guards
+    against the field underestimating proximity; cap bounds the damage of a
+    mid-range overestimate. Rays that neither cross nor escape within
+    n_sphere iterations report miss — the near-band agreement gate
+    (tests/test_neural_tracer.py, >=0.98 vs the exact BVH) is the arbiter,
+    as for every other tracer approximation.
+    """
+    r = rays_ref[...]          # [8, BR]
+    o = r[0:3]
+    d = r[3:6]
+    t_enter = r[6:7]
+    t_exit = r[7:8]
+    chord = t_exit - t_enter
+    dt_min = chord * dt_frac
+    cap = chord * cap_frac
+
+    def field(t):
+        return _field_eval_t(o + d * t, w0[...], b0[...], w1[...], b1[...],
+                             w2[...], b2[...], w3t[...], b3[...], pe)
+
+    def step_of(v):
+        return jnp.clip(lip * v - margin, dt_min, cap)
+
+    v0 = field(t_enter)
+    start_inside = ((v0 <= 0.0) & (t_enter <= t0 + 1e-6)).astype(jnp.float32)
+    t = jnp.minimum(t_enter + step_of(v0), t_exit)
+
+    def body(i, carry):
+        t_prev, t, found, t_lo, t_hi = carry
+        v = field(t)
+        cross = (v <= 0.0) & (found < 0.5)
+        t_lo = jnp.where(cross, t_prev, t_lo)
+        t_hi = jnp.where(cross, t, t_hi)
+        found = jnp.maximum(found, cross.astype(jnp.float32))
+        t_next = jnp.minimum(t + step_of(v), t_exit)
+        frozen = found > 0.5
+        return (jnp.where(frozen, t_prev, t),
+                jnp.where(frozen, t, t_next), found, t_lo, t_hi)
+
+    t_prev, t, found, t_lo, t_hi = jax.lax.fori_loop(
+        1, n_sphere, body, (t_enter, t, start_inside, t_enter, t_enter))
+
+    def bisect_body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        v = field(mid)
+        return jnp.where(v > 0.0, mid, lo), jnp.where(v > 0.0, hi, mid)
+
+    t_lo, t_hi = jax.lax.fori_loop(0, n_refine, bisect_body, (t_lo, t_hi))
+
+    zero = jnp.zeros((6, r.shape[1]), jnp.float32)
+    out_ref[...] = jnp.concatenate([0.5 * (t_lo + t_hi), found, zero], axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pe", "n_sphere", "n_refine", "t0",
+                                    "margin", "lip", "dt_frac", "cap_frac",
+                                    "interpret"))
+def _sphere_march_t(rays_t, packed, pe, n_sphere, n_refine, t0, margin, lip,
+                    dt_frac, cap_frac, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = rays_t.shape[1]
+    names = ["w0", "b0", "w1", "b1", "w2", "b2", "w3t", "b3"]
+    return pl.pallas_call(
+        functools.partial(_sphere_march_kernel, pe=pe, n_sphere=n_sphere,
+                          n_refine=n_refine, t0=t0, margin=margin, lip=lip,
+                          dt_frac=dt_frac, cap_frac=cap_frac),
+        # evals/ray = n_sphere + n_refine, encoded for core/mfu.py
+        name=f"nero_smarch_s{n_sphere}_r{n_refine}",
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        grid=(n // BLOCK_R,),
+        in_specs=[pl.BlockSpec((8, BLOCK_R), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in names],
+        out_specs=pl.BlockSpec((8, BLOCK_R), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rays_t, *[packed[k] for k in names])
+
+
+def sphere_march_fused(packed, rays_o, rays_d, t_enter, t_exit, *,
+                       pe: int = 6, n_sphere: int = 16, n_refine: int = 8,
+                       t0: float = 0.012, margin: float = 0.003,
+                       lip: float = 0.9, dt_frac: float = 1.0 / 31.0,
+                       cap_frac: float = 0.25, interpret: bool = False):
+    """Sphere-traced march of [R] rays. Returns (t_hit [R], found [R] bool).
+
+    Same contract as march_fused; ~ (n_sphere+n_refine)/(n_coarse+n_refine)
+    of its FLOPs. dt_frac defaults to the uniform-32 march's step so the
+    thin-feature floor is unchanged."""
+    packed = jax.tree_util.tree_map(jax.lax.stop_gradient, packed)
+    stack = jnp.concatenate([
+        jax.lax.stop_gradient(rays_o).T,
+        jax.lax.stop_gradient(rays_d).T,
+        jax.lax.stop_gradient(t_enter)[None],
+        jax.lax.stop_gradient(t_exit)[None],
+    ], axis=0)  # [8, R]
+    n = stack.shape[1]
+    n_pad = (-n) % BLOCK_R
+    stack = jnp.pad(stack, ((0, 0), (0, n_pad)))
+    out = _sphere_march_t(stack, packed, pe, n_sphere, n_refine, t0,
+                          float(margin), lip, dt_frac, cap_frac,
+                          interpret=interpret)
+    return out[0, :n], out[1, :n] > 0.5
+
+
 def hlo_flops(name: str, out_shapes, in_shapes):
-    """Matmul FLOPs of one march invocation: rays x (n_coarse + n_refine)
-    field evals, each the same 4-layer MLP as field_kernel."""
+    """Matmul FLOPs of one march invocation: rays x (field evals)
+    with each eval the same 4-layer MLP as field_kernel. Uniform march
+    evals = n_coarse + n_refine; sphere march = n_sphere + n_refine."""
     import re as _re
 
     from nero_tpu.ops.pallas.field_kernel import POINT_FLOPS
-    m = _re.fullmatch(r"nero_march_c(\d+)_r(\d+)", name)
+    m = _re.fullmatch(r"nero_s?march_[cs](\d+)_r(\d+)", name)
     if m is None:
         return None
     evals = int(m.group(1)) + int(m.group(2))

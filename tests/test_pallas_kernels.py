@@ -106,3 +106,64 @@ def test_march_kernel_matches_unfused_trace():
     both = h_a & h_b
     terr = np.abs(np.asarray(t_a)[both] - np.asarray(t_b)[both])
     assert np.median(terr) < 1e-3
+
+
+def test_sphere_march_matches_uniform_march():
+    """Sphere-traced march (fixed-K |f|-scaled steps) agrees with the uniform
+    coarse march on a field with a thin feature (torus tube) — the regime the
+    dt_min coverage floor exists for."""
+    import optax
+
+    from nero_tpu.geometry.neural_tracer import field_apply, init_field
+    from nero_tpu.ops.pallas.field_kernel import pack_field_params
+    from nero_tpu.ops.pallas.march_kernel import march_fused, sphere_march_fused
+
+    def torus_sdf(p):
+        q = jnp.stack([jnp.linalg.norm(p[..., :2], axis=-1) - 0.55,
+                       p[..., 2]], axis=-1)
+        return jnp.linalg.norm(q, axis=-1) - 0.12
+
+    params = init_field(jax.random.PRNGKey(0))
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        pts = jax.random.uniform(key, (4096, 3), minval=-0.9, maxval=0.9)
+        tgt = torus_sdf(pts)
+
+        def loss_fn(p):
+            return jnp.mean((field_apply(p, pts) - tgt) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, opt_state2 = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, up), opt_state2, loss
+
+    key = jax.random.PRNGKey(3)
+    for i in range(400):
+        params, opt_state, loss = step(params, opt_state,
+                                       jax.random.fold_in(key, i))
+    assert float(loss) < 2e-3
+    packed = pack_field_params(params)
+
+    # rays both from outside (toward the torus) and from ON the surface
+    # (hemisphere visibility rays, the Stage-II workload)
+    r = 512
+    o = jax.random.normal(jax.random.PRNGKey(4), (r, 3))
+    o = 1.4 * o / jnp.linalg.norm(o, axis=-1, keepdims=True)
+    d = jax.random.normal(jax.random.PRNGKey(5), (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t_enter = jnp.full((r,), 0.012)
+    t_exit = jnp.full((r,), 2.8)
+
+    t_u, h_u = march_fused(packed, o, d, t_enter, t_exit, n_coarse=32,
+                           n_refine=8, interpret=True)
+    t_s, h_s = sphere_march_fused(packed, o, d, t_enter, t_exit, n_sphere=16,
+                                  n_refine=8, dt_frac=1.0 / 31.0,
+                                  margin=0.004, interpret=True)
+    h_u, h_s = np.asarray(h_u), np.asarray(h_s)
+    agree = (h_u == h_s).mean()
+    assert agree > 0.98, f"hit agreement {agree}"
+    both = h_u & h_s
+    terr = np.abs(np.asarray(t_u)[both] - np.asarray(t_s)[both])
+    assert np.median(terr) < 2e-3, float(np.median(terr))

@@ -1,0 +1,87 @@
+"""Sphere-traced march vs uniform coarse march: quality + step-time A/B.
+
+Quality: clearing-ray hit agreement vs the exact BVH on the concave
+multi-component bowl mesh (the tests' >=0.98 bar), uniform n_coarse=32 vs
+sphere n_sphere in {20,16,12} — all with n_refine=8 bisections.
+Speed: the full Stage-II train step (bench.py workload) on the convex sphere
+AND concave bowl procedural scenes under each march mode.
+
+Usage: python tools/ab_sphere_march.py [quality|speed|all]
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def quality():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nero_tpu.geometry.neural_tracer import NeuralTracer, neural_trace
+    from tools.sweep_march_samples import bowl_mesh
+
+    verts, tris = bowl_mesh()
+    tracer = NeuralTracer(verts, tris, distill_steps=900,
+                          distill_samples=300_000, distill_batch=16384,
+                          cache=True, verbose=True)
+    margin = max(0.002, 3.0 * float(tracer.distill_rms))
+    print(f"bound={tracer.bound:.3f} rms={tracer.distill_rms:.4f} "
+          f"margin={margin:.4f}", flush=True)
+
+    rng = np.random.RandomState(0)
+    n = 8192
+    ti = rng.randint(0, len(tris), n)
+    u, v = rng.rand(n, 1), rng.rand(n, 1)
+    flip = (u + v) > 1
+    u = np.where(flip, 1 - u, u)
+    v = np.where(flip, 1 - v, v)
+    p = (verts[tris[ti, 0]] + u * (verts[tris[ti, 1]] - verts[tris[ti, 0]])
+         + v * (verts[tris[ti, 2]] - verts[tris[ti, 0]]))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = (p + d * 1e-3).astype(np.float32)
+
+    _, _, dc, hc = tracer.trace_cpu(o, d)
+    hc = np.asarray(hc, bool)
+    dc = np.asarray(dc).reshape(-1)
+    clear = (~hc) | (dc > 0.05)
+
+    on_tpu = jax.default_backend() == "tpu"
+    variants = [("uniform_c32", dict(march_mode="uniform", n_coarse=32))]
+    for ns in (20, 16, 12):
+        variants.append((f"sphere_s{ns}",
+                         dict(march_mode="sphere", n_sphere=ns, n_coarse=32)))
+    for name, kw in variants:
+        t, _, hit = neural_trace(
+            tracer.field_params, tracer.packed, jnp.asarray(o), jnp.asarray(d),
+            tracer.bound, tracer.far, n_refine=8, use_fused=on_tpu,
+            margin=margin, **kw)
+        hg = np.asarray(hit, bool)
+        tg = np.asarray(t)
+        agree = (hg == hc)[clear].mean()
+        both = clear & hc & hg & (tg > 0.05)
+        depth_mae = np.abs(tg[both] - dc[both]).mean() if both.any() else float("nan")
+        print(json.dumps({"variant": name, "fused": on_tpu,
+                          "clearing_agreement": round(float(agree), 4),
+                          "depth_mae": round(float(depth_mae), 5)}), flush=True)
+
+
+def speed():
+    from tools.ceiling_stage2 import run_variant
+    for scene in ("sphere", "bowl"):
+        run_variant(f"{scene}_uniform", scene=scene,
+                    extra={"tracer_march_mode": "uniform"})
+        run_variant(f"{scene}_sphere20", scene=scene,
+                    extra={"tracer_march_mode": "sphere",
+                           "tracer_n_sphere": 20})
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("quality", "all"):
+        quality()
+    if which in ("speed", "all"):
+        speed()
