@@ -107,22 +107,41 @@ def bench_stage1():
     }
 
 
-def bench_stage2():
+def _bench_mesh(scene):
+    """Host-side analytic mesh for the Stage-II bench (scene_sdf is numpy)."""
+    import numpy as np
+
+    from nero_tpu.dataset.synthetic import scene_sdf
+    from nero_tpu.geometry import native
+
+    sdf = scene_sdf(scene)
+    grid, lo, hi = 128, -1.01, 1.01
+    xs = np.linspace(lo, hi, grid).astype(np.float32)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    vals = np.asarray(sdf(np.stack([X, Y, Z], -1).reshape(-1, 3)),
+                      np.float32).reshape(grid, grid, grid)
+    verts, tris = native.isosurface(vals, 0.0)
+    return {"vertices": (verts / (grid - 1.0) * (hi - lo) + lo).astype(np.float32),
+            "triangles": tris}
+
+
+def bench_stage2(scene="sphere"):
+    """Material-step throughput. scene='sphere' is the reference-shaped convex
+    headline; scene='bowl' is the concave regime (hemisphere hit rate ~0.6,
+    inner-light compaction stays full-lattice) — benched separately so the
+    headline can't flatter the framework where the workload is hardest
+    (VERDICT r3 weak #4)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from nero_tpu.core.mfu import flops_breakdown, mfu
-    from nero_tpu.geometry.isosurface import extract_geometry
     from nero_tpu.models.material import NeROMaterialModel
 
-    verts, tris = extract_geometry(
-        [-1, -1, -1], [1, 1, 1], 128, 0.0,
-        lambda p: jnp.linalg.norm(p, axis=-1, keepdims=True) - 0.5)
     cfg = {
-        "name": "bench_stage2", "network": "material",
-        "database_name": "proc/sphere/100_12",
-        "mesh": {"vertices": verts, "triangles": tris},
+        "name": f"bench_stage2_{scene}", "network": "material",
+        "database_name": f"proc/{scene}/100_12",
+        "mesh": _bench_mesh(scene),
         "train_ray_num": 512,
         "shader_cfg": {"diffuse_sample_num": 512, "specular_sample_num": 256,
                        "human_lights": False, "outer_light_version": "direction"},
@@ -147,6 +166,7 @@ def bench_stage2():
             + cfg["shader_cfg"]["specular_sample_num"])
     return {
         "metric": "stage2_train_points_per_sec_per_chip",
+        "scene": scene,
         "value": round(pts_per_sec, 1),
         "unit": "points/s",
         "vs_baseline": round(pts_per_sec / A100_BASELINE_PTS_PER_SEC, 3),
@@ -162,7 +182,8 @@ def bench_stage2():
 
 def main():
     result = bench_stage1()
-    result["stage2"] = bench_stage2()
+    result["stage2"] = bench_stage2("sphere")
+    result["stage2_concave"] = bench_stage2("bowl")
     print(json.dumps(result))
 
 

@@ -236,7 +236,7 @@ class NeuralTracer:
                  n_refine: int = 8, seed: int = 0, verbose: bool = True,
                  use_fused: bool | None = None, cache: bool = True,
                  distill_samples: int = 1_500_000, distill_batch: int = 65536,
-                 march_mode: str = "uniform", n_sphere: int = 16):
+                 march_mode: str = "sphere", n_sphere: int = 20):
         self.far = far
         self.n_coarse = n_coarse
         self.n_refine = n_refine

@@ -57,10 +57,15 @@ DEFAULT_MATERIAL_CFG = {
     "tracer_distill_steps": 3000,
     "tracer_n_coarse": 32,
     # 'uniform' = fixed n_coarse-sample scan; 'sphere' = fixed n_sphere-
-    # iteration sphere trace of the distilled SDF (same bracket+bisect,
-    # ~60% of the field evals; ops/pallas/march_kernel.py)
-    "tracer_march_mode": "uniform",
-    "tracer_n_sphere": 16,
+    # iteration sphere trace of the distilled SDF (same bracket+bisect at
+    # 28/40 of the field evals; ops/pallas/march_kernel.py). Measured on
+    # v5e (tools/ab_sphere_march.py): s20 clearing-ray agreement 0.9822 vs
+    # 0.9834 uniform-c32 on the concave bowl mesh (parity; s16 degrades to
+    # 0.963 — iteration-starved in the cavity), step 58.4 -> 52.1 ms bowl,
+    # 50.3 -> 44.5 ms sphere scene. TPU default; the non-fused (CPU) path
+    # always marches uniformly.
+    "tracer_march_mode": "sphere",
+    "tracer_n_sphere": 20,
     # if the distilled field's near-band RMS exceeds this, the mesh is too
     # hard for the neural tracer — fall back to the exact grid tracer and say
     # so loudly (visibility errors silently poison Stage-II otherwise)

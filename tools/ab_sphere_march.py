@@ -15,7 +15,23 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def quality():
+def _mirror_mesh():
+    import numpy as np
+
+    from nero_tpu.dataset.synthetic import scene_sdf
+    from nero_tpu.geometry import native
+
+    sdf = scene_sdf("mirror")
+    grid = 96
+    xs = np.linspace(-0.52, 0.52, grid).astype(np.float32)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    vals = sdf(np.stack([X, Y, Z], -1).reshape(-1, 3)) \
+        .reshape(grid, grid, grid).astype(np.float32)
+    verts, tris = native.isosurface(vals, 0.0)
+    return (verts / (grid - 1.0) * 1.04 - 0.52).astype(np.float32), tris
+
+
+def quality(scene="bowl"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -23,7 +39,7 @@ def quality():
     from nero_tpu.geometry.neural_tracer import NeuralTracer, neural_trace
     from tools.sweep_march_samples import bowl_mesh
 
-    verts, tris = bowl_mesh()
+    verts, tris = bowl_mesh() if scene == "bowl" else _mirror_mesh()
     tracer = NeuralTracer(verts, tris, distill_steps=900,
                           distill_samples=300_000, distill_batch=16384,
                           cache=True, verbose=True)
@@ -82,6 +98,6 @@ def speed():
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("quality", "all"):
-        quality()
+        quality(sys.argv[2] if len(sys.argv) > 2 else "bowl")
     if which in ("speed", "all"):
         speed()

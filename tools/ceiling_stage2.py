@@ -40,15 +40,21 @@ _MESH_CACHE = {}
 
 def _mesh(scene):
     if scene not in _MESH_CACHE:
-        import jax.numpy as jnp
+        import numpy as np
 
         from nero_tpu.dataset.synthetic import scene_sdf
-        from nero_tpu.geometry.isosurface import extract_geometry
+        from nero_tpu.geometry import native
 
+        # scene_sdf returns a host numpy function — evaluate the grid on the
+        # host and contour with the native iso-surfacer (no jit involved)
         sdf = scene_sdf(scene)
-        verts, tris = extract_geometry(
-            [-1.01] * 3, [1.01] * 3, 128, 0.0,
-            lambda p: jnp.asarray(sdf(p))[..., None])
+        grid, lo, hi = 128, -1.01, 1.01
+        xs = np.linspace(lo, hi, grid).astype(np.float32)
+        X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+        vals = np.asarray(sdf(np.stack([X, Y, Z], -1).reshape(-1, 3)),
+                          np.float32).reshape(grid, grid, grid)
+        verts, tris = native.isosurface(vals, 0.0)
+        verts = (verts / (grid - 1.0) * (hi - lo) + lo).astype(np.float32)
         _MESH_CACHE[scene] = {"vertices": verts, "triangles": tris}
     return _MESH_CACHE[scene]
 
