@@ -28,6 +28,9 @@ run profile_stage2 1800 python -u tools/profile_stage2.py
 # 2. Stage-I fused-mode roofline (r3 table was rev-only) + shader parts.
 run ceiling1_fused 2400 python -u tools/ceiling_stage1.py fused 512 1024 2048 4096
 run parts_bf16 1200 python -u tools/profile_core_parts.py --bf16
+# heads A/B re-test: the r3 "no win" baseline was rev-grad (34.9 ms); with
+# the fused grad default the shader share is larger
+run ab_heads2 2400 python -u tools/bench_stage1_ab.py heads
 
 # 3. Driver bench with the honest MFU accounting (both stages, both scenes).
 run bench 2400 python -u bench.py
