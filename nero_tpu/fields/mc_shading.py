@@ -68,6 +68,15 @@ class MCShadingConfig(NamedTuple):
     # measuring the scene's hemisphere hit rate and adding headroom, and
     # logs if a step could overflow. 0.0 = off (inner MLP on every dir).
     inner_compact_frac: float = 0.0
+    # Miss-compacted outer-light evaluation — the symmetric optimization for
+    # CONCAVE scenes (bowl: hit rate 0.61, so 61% of outer-light + human
+    # IDE/MLP work evaluates directions whose result is discarded by the
+    # hit select). Outer light (+ human light) runs only on K = ceil(frac *
+    # pn*sn) compacted MISS slots; misses beyond capacity keep zero light
+    # (init-time headroom makes that statistically unreachable, and the
+    # compaction is train-only — validation always shades the full lattice).
+    # 0.0 = off (outer MLP on every dir).
+    outer_compact_frac: float = 0.0
 
     @property
     def hidden_act_dtype(self):
@@ -319,13 +328,19 @@ def get_lights(params, cfg: MCShadingConfig, trace_fn, points, directions, human
     # NeuS-convention flip (reference renderer.py:719-729)
     normals = -normals
 
-    outer = predict_outer_lights(params, cfg, points, directions)
-    if cfg.human_lights:
-        human_lights, human_weights = get_human_light(params, points, directions,
-                                                      human_poses)
+    if cfg.outer_compact_frac > 0.0:
+        miss_light, human_part = _compacted_miss_lights(
+            params, cfg, points, directions, human_poses, hit)
     else:
-        human_lights, human_weights = jnp.zeros_like(outer), jnp.zeros_like(outer[..., :1])
-    miss_light = outer * (1 - human_weights) + human_lights * human_weights
+        outer = predict_outer_lights(params, cfg, points, directions)
+        if cfg.human_lights:
+            human_lights, human_weights = get_human_light(params, points,
+                                                          directions, human_poses)
+        else:
+            human_lights = jnp.zeros_like(outer)
+            human_weights = jnp.zeros_like(outer[..., :1])
+        miss_light = outer * (1 - human_weights) + human_lights * human_weights
+        human_part = human_lights * human_weights
 
     if cfg.inner_compact_frac > 0.0:
         lights = _compacted_inner_lights(params, cfg, inters, directions,
@@ -335,8 +350,55 @@ def get_lights(params, cfg: MCShadingConfig, trace_fn, points, directions, human
         lights = jnp.where(hit[..., None], inner, miss_light)
     near_mask = (depth > eps).astype(lights.dtype)
     lights = lights * near_mask  # a surface immediately in front emits nothing
-    human_contrib = jnp.where(hit[..., None], 0.0, human_lights * human_weights)
+    human_contrib = jnp.where(hit[..., None], 0.0, human_part)
     return lights, human_contrib, inters, normals, hit
+
+
+def _compacted_miss_lights(params, cfg, points, directions, human_poses, hit):
+    """Outer (+human) light on MISS directions only, via static compaction.
+
+    Mirror of _compacted_inner_lights for the concave regime (most sample
+    dirs re-hit the object, so full-lattice outer light is mostly discarded
+    work). Misses pack (stable order) into K = ceil(frac*N) slots; the outer
+    MLP (+ camera-plane human light) runs on the [K] batch and scatters back
+    over a zero base — hit entries stay zero and are overwritten by the
+    inner branch anyway. Misses beyond capacity keep zero light; capacity is
+    sized at init from the measured miss rate with 1.5x headroom and this
+    path is train-only (validation shades the full lattice).
+    Returns (miss_light [pn,sn,3], human_contrib [pn,sn,3])."""
+    shape = hit.shape  # [pn, sn]
+    n = int(np.prod(shape))
+    k = -(-int(n * cfg.outer_compact_frac) // 128) * 128  # lane-multiple
+    k = min(k, n)
+    miss_flat = ~hit.reshape(-1)
+    rank = jnp.cumsum(miss_flat) - 1
+    n_miss = rank[-1] + 1
+    slot = jnp.where(miss_flat, jnp.minimum(rank, k), k)
+    compact_src = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:k]
+
+    take = lambda a: a.reshape(n, -1)[compact_src]
+    pts_k = take(points)
+    dirs_k = take(directions)
+    outer_k = predict_outer_lights(params, cfg, pts_k[:, None],
+                                   dirs_k[:, None])[:, 0]
+    if cfg.human_lights:
+        hp_k = take(human_poses).reshape(-1, 1, 3, 4)
+        human_k, hw_k = get_human_light(params, pts_k[:, None], dirs_k[:, None],
+                                        hp_k)
+        human_k, hw_k = human_k[:, 0], hw_k[:, 0]
+        human_part_k = human_k * hw_k
+        miss_k = outer_k * (1 - hw_k) + human_part_k
+    else:
+        human_part_k = jnp.zeros_like(outer_k)
+        miss_k = outer_k
+
+    valid = jnp.arange(k) < n_miss
+    scatter_to = jnp.where(valid, compact_src, n)
+    base = jnp.zeros((n + 1, 3), miss_k.dtype)
+    miss_light = base.at[scatter_to].set(miss_k, mode="drop")[:n]
+    human_part = base.at[scatter_to].set(human_part_k, mode="drop")[:n]
+    return miss_light.reshape(*shape, 3), human_part.reshape(*shape, 3)
 
 
 def _compacted_inner_lights(params, cfg, inters, directions, normals, hit,

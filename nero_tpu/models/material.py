@@ -75,6 +75,10 @@ DEFAULT_MATERIAL_CFG = {
     # static hit capacity with 1.5x headroom; a float fixes the fraction;
     # 'off' evaluates the inner-light MLP on every sample direction
     "inner_compact": "auto",
+    # miss-compacted outer-light evaluation (MCShadingConfig.outer_compact_
+    # frac): the concave-scene mirror of inner_compact — 'auto' sizes the
+    # static miss capacity from the measured hemisphere miss rate; train-only
+    "outer_compact": "auto",
 }
 
 
@@ -141,6 +145,7 @@ class NeROMaterialModel:
         self._batch_i = 0
         self._rng = rng
         self._resolve_inner_compact()
+        self._resolve_outer_compact()
 
     def _resolve_inner_compact(self):
         """Size the static hit capacity of the compacted inner-light path.
@@ -168,9 +173,40 @@ class NeROMaterialModel:
                   f"{rate:.3f} -> inner-light capacity {frac:.3f} of sample dirs")
         self.mcfg = self.mcfg._replace(inner_compact_frac=frac)
 
-    def _estimate_hit_rate(self, n_pts: int = 256, n_dirs: int = 64) -> float:
+    def _resolve_outer_compact(self):
+        """Size the static MISS capacity of the compacted outer-light path —
+        the symmetric optimization for concave scenes (bowl: 61% of sample
+        dirs re-hit the object, so full-lattice outer light is mostly
+        discarded). Capacity = 1.5x the larger per-family miss rate + 0.05,
+        only engaged when that saves >=25% of the outer evals. Explicit
+        shader_cfg.outer_compact_frac wins. Train-only (validation always
+        shades the full lattice)."""
+        if (self.cfg.get("shader_cfg") or {}).get("outer_compact_frac") is not None:
+            return
+        mode = self.cfg["outer_compact"]
+        if mode in (0, 0.0, "off", False, None):
+            return
+        frac = float(mode) if mode != "auto" else None
+        if frac is None:
+            # capacity covers the COMBINED lattice's misses: the two direction
+            # families appear in fixed counts (diffuse_sample_num /
+            # specular_sample_num), so the expected miss fraction is their
+            # sample-weighted mean; 1.5x headroom absorbs per-batch deviation
+            miss_rate = 1.0 - self._estimate_hit_rate(reduce="weighted")
+            frac = min(0.75, 1.5 * miss_rate + 0.05)
+            if frac >= 0.72:
+                return  # mostly-miss scene (convex): compaction saves nothing
+            print(f"[NeROMaterialModel] outer_compact auto: hemisphere miss "
+                  f"rate {miss_rate:.3f} -> outer-light capacity {frac:.3f} "
+                  f"of sample dirs")
+        self.mcfg = self.mcfg._replace(outer_compact_frac=frac)
+
+    def _estimate_hit_rate(self, n_pts: int = 256, n_dirs: int = 64,
+                           reduce: str = "max") -> float:
         """Hemisphere self-hit rate: cosine dirs + mirror dirs from a sample
-        of real surface points, traced with the exact host tracer."""
+        of real surface points, traced with the exact host tracer. reduce=
+        'max' bounds the hit count (inner capacity), 'min' bounds the miss
+        count (outer capacity) across the two direction families."""
         rng = np.random.RandomState(0)
         idx = rng.choice(self.tbn, min(n_pts, self.tbn), replace=False)
         pts = self.train_batch["inters"][idx]
@@ -204,7 +240,11 @@ class NeROMaterialModel:
             d = dirs.reshape(-1, 3).astype(np.float32)
             _, _, _, hit = self.ray_tracer.trace_cpu(o, d)
             rates.append(float(np.mean(hit)))
-        return max(rates)
+        if reduce == "weighted":
+            dn = self.mcfg.diffuse_sample_num
+            sn = self.mcfg.specular_sample_num
+            return (dn * rates[0] + sn * rates[1]) / (dn + sn)
+        return max(rates) if reduce == "max" else min(rates)
 
     def _image_rays_np(self, K, pose, h, w):
         xs, ys = np.meshgrid(np.arange(w, dtype=np.float32) + 0.5,
@@ -313,7 +353,8 @@ class NeROMaterialModel:
         # validation/test renders always use the exact full-lattice inner-light
         # path (same policy as Stage I's shade_top_k: approximations train,
         # never evaluate)
-        mcfg, samples, trace_fn = (self.mcfg._replace(inner_compact_frac=0.0),
+        mcfg, samples, trace_fn = (self.mcfg._replace(inner_compact_frac=0.0,
+                                                      outer_compact_frac=0.0),
                                    self.samples, self.trace_fn)
 
         def chunk_fn(params, pts, view_dirs, normals, human_poses):

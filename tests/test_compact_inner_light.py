@@ -121,3 +121,90 @@ def test_compacted_full_shading_grads_finite():
     # inner-light params receive gradient through the compacted gather/scatter
     gi = jax.tree_util.tree_leaves(g["inner_light"])
     assert max(float(jnp.abs(l).max()) for l in gi) > 0.0
+
+
+@pytest.mark.parametrize("hit_rate,frac", [(0.6, 0.6), (1.0, 0.1)])
+def test_miss_compacted_outer_matches_full(hit_rate, frac):
+    """outer_compact_frac > 0 must reproduce the full path exactly while the
+    miss count fits the static capacity (the concave-scene regime)."""
+    pn, sn = 8, 48
+    cfg_full = MCShadingConfig(diffuse_sample_num=32, specular_sample_num=16,
+                               human_lights=False, bf16_hidden=False)
+    cfg_comp = cfg_full._replace(outer_compact_frac=frac)
+    params = init_mc_shading(jax.random.PRNGKey(0), cfg_full)
+    from nero_tpu.ops.mlp import resolve_weight_norm
+    params = resolve_weight_norm(params)
+
+    pts, dirs, hit = _batch(pn, sn, hit_rate, seed=3)
+    n_miss = (~hit).sum()
+    k = -(-int(pn * sn * frac) // 128) * 128
+    assert n_miss <= k, (n_miss, k)
+    trace_fn = _make_trace_fn(hit, pn * sn)
+    pts_rep = jnp.broadcast_to(pts[:, None], (pn, sn, 3))
+
+    out_full = jax.jit(lambda p: get_lights(p, cfg_full, trace_fn,
+                                            pts_rep, dirs, None))(params)
+    out_comp = jax.jit(lambda p: get_lights(p, cfg_comp, trace_fn,
+                                            pts_rep, dirs, None))(params)
+    for a, b in zip(out_full, out_comp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_miss_compacted_with_human_light_matches_full():
+    pn, sn = 4, 32
+    cfg_full = MCShadingConfig(diffuse_sample_num=24, specular_sample_num=8,
+                               human_lights=True, bf16_hidden=False)
+    cfg_comp = cfg_full._replace(outer_compact_frac=0.75)
+    params = init_mc_shading(jax.random.PRNGKey(1), cfg_full)
+    from nero_tpu.ops.mlp import resolve_weight_norm
+    params = resolve_weight_norm(params)
+
+    pts, dirs, hit = _batch(pn, sn, 0.5, seed=5)
+    trace_fn = _make_trace_fn(hit, pn * sn)
+    pts_rep = jnp.broadcast_to(pts[:, None], (pn, sn, 3))
+    hp = jnp.broadcast_to(jnp.eye(3, 4)[None, None], (pn, sn, 3, 4))
+
+    out_full = jax.jit(lambda p: get_lights(p, cfg_full, trace_fn,
+                                            pts_rep, dirs, hp))(params)
+    out_comp = jax.jit(lambda p: get_lights(p, cfg_comp, trace_fn,
+                                            pts_rep, dirs, hp))(params)
+    for a, b in zip(out_full, out_comp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_miss_overflow_keeps_zero_light_on_overflow_misses_only():
+    """Misses beyond the outer capacity report zero light; everything else
+    (covered misses, hits) matches the full path."""
+    pn, sn = 4, 64
+    cfg_full = MCShadingConfig(diffuse_sample_num=48, specular_sample_num=16,
+                               human_lights=False, bf16_hidden=False)
+    frac = 0.5  # k = 128 slots; force > 128 misses
+    cfg_comp = cfg_full._replace(outer_compact_frac=frac)
+    params = init_mc_shading(jax.random.PRNGKey(0), cfg_full)
+    from nero_tpu.ops.mlp import resolve_weight_norm
+    params = resolve_weight_norm(params)
+
+    pts, dirs, hit = _batch(pn, sn, 0.2, seed=7)
+    k = -(-int(pn * sn * frac) // 128) * 128
+    n_miss = int((~hit).sum())
+    assert n_miss > k, (n_miss, k)
+    trace_fn = _make_trace_fn(hit, pn * sn)
+    pts_rep = jnp.broadcast_to(pts[:, None], (pn, sn, 3))
+
+    lights_full, *_ = jax.jit(lambda p: get_lights(p, cfg_full, trace_fn,
+                                                   pts_rep, dirs, None))(params)
+    lights_comp, *_ = jax.jit(lambda p: get_lights(p, cfg_comp, trace_fn,
+                                                   pts_rep, dirs, None))(params)
+    lf = np.asarray(lights_full).reshape(-1, 3)
+    lc = np.asarray(lights_comp).reshape(-1, 3)
+    miss_idx = np.where(~hit)[0]
+    covered = np.zeros_like(hit)
+    covered[miss_idx[:k]] = True          # stable order: first k misses
+    # covered misses + all hits match the full path
+    ok = hit | covered
+    np.testing.assert_allclose(lc[ok], lf[ok], atol=1e-5, rtol=1e-5)
+    # overflow misses report zero light
+    overflow = (~hit) & ~covered
+    assert np.abs(lc[overflow]).max() == 0.0
