@@ -76,7 +76,8 @@ def test_march_kernel_matches_unfused_trace():
     assert float(loss) < 1e-3
 
     packed = pack_field_params(params)
-    r = 512
+    r = 256  # interpret-mode march cost scales with rays; 256 keeps the
+    # agreement statistics meaningful (1/256 granularity vs the 0.99 bar)
     o = jax.random.normal(jax.random.PRNGKey(4), (r, 3))
     o = 1.5 * o / jnp.linalg.norm(o, axis=-1, keepdims=True)
     d = jax.random.normal(jax.random.PRNGKey(5), (r, 3))
@@ -148,7 +149,7 @@ def test_sphere_march_matches_uniform_march():
 
     # rays both from outside (toward the torus) and from ON the surface
     # (hemisphere visibility rays, the Stage-II workload)
-    r = 512
+    r = 256
     o = jax.random.normal(jax.random.PRNGKey(4), (r, 3))
     o = 1.4 * o / jnp.linalg.norm(o, axis=-1, keepdims=True)
     d = jax.random.normal(jax.random.PRNGKey(5), (r, 3))

@@ -48,13 +48,13 @@ def test_train_step_runs_and_improves(model, step_ctx):
     key = jax.random.PRNGKey(0)
 
     losses = []
-    for i in range(10):
+    for i in range(8):
         k = jax.random.fold_in(key, i)
         params, opt_state, log = step_fn(params, opt_state, k, jnp.asarray(i),
                                          model.train_data)
         losses.append(float(log["loss_rgb"]))
     assert all(np.isfinite(losses))
-    # rgb loss should clearly drop within 10 steps on a tiny scene
+    # rgb loss should clearly drop within 8 steps on a tiny scene
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
     model.params = params
 
