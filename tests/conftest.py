@@ -22,6 +22,7 @@ jax.config.update("jax_platforms", "cpu")
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".jax_compile_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# persist even small programs: dozens of sub-2s compiles repeat across
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)  # noqa: E501  runs and add up on the 1-core container
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -11,8 +11,8 @@ from nero_tpu.render.shape import (init_shape_params, render,
 @pytest.fixture(scope="module")
 def setup():
     scfg = shape_config_from_dict({
-        "n_samples": 16, "n_importance": 16, "up_sample_steps": 2,
-        "n_bg_samples": 8, "train_ray_num": 32, "occ_loss_max_pn": 64,
+        "n_samples": 8, "n_importance": 8, "up_sample_steps": 2,
+        "n_bg_samples": 4, "train_ray_num": 32, "occ_loss_max_pn": 64,
         "occ_loss_step": 100, "shade_top_k": 8, "bf16_hidden": False,
     })
     params = init_shape_params(jax.random.PRNGKey(0), scfg)
