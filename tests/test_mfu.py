@@ -53,6 +53,18 @@ def test_parser_dispatch_and_shapes():
     assert total == sum(by_kernel.values())
 
 
+def test_sphere_march_name_flops():
+    from nero_tpu.ops.pallas.field_kernel import POINT_FLOPS
+    from nero_tpu.ops.pallas.march_kernel import hlo_flops
+
+    # sphere march encodes its iteration budget: s20 + r8 = 28 evals/ray
+    assert hlo_flops("nero_smarch_s20_r8", [(8, 4096)], []) == \
+        4096 * 28 * POINT_FLOPS
+    assert hlo_flops("nero_march_c32_r8", [(8, 4096)], []) == \
+        4096 * 40 * POINT_FLOPS
+    assert hlo_flops("something_else", [(8, 4096)], []) is None
+
+
 def test_parser_instruction_name_fallback():
     # no op_name metadata -> kernel identified from the instruction name
     line = _MARCH_LINE.split(", metadata=")[0]
