@@ -85,6 +85,7 @@ _KERNEL_MODULES = (
     "nero_tpu.ops.pallas.field_kernel",
     "nero_tpu.ops.pallas.march_kernel",
     "nero_tpu.ops.pallas.predictor_kernel",
+    "nero_tpu.ops.pallas.shader_kernel",
 )
 
 

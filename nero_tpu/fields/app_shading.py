@@ -39,6 +39,15 @@ class AppShadingConfig(NamedTuple):
     # (ops/pallas/predictor_kernel.py) — TPU only, resolved by
     # render/shape.py::shape_config_from_dict
     fused_heads: bool = False
+    # run the ENTIRE shader (6 heads + IDE/PE encodings) through the fused
+    # whole-shader Pallas kernel (ops/pallas/shader_kernel.py, forward AND
+    # backward VMEM-resident). Unlike fused_heads (measured neutral), this
+    # also keeps the encodings and head inputs out of HBM — the shader VJP
+    # was 12.4 ms / 14.8 GB of the 29.6 ms step (round-4 bytes ledger).
+    # None = auto, resolved by render/shape.py::shape_config_from_dict
+    # (TPU + supported topology + bf16 hidden resolved on). human_light
+    # configs fall back to the XLA path (camera-plane IPE not in-kernel).
+    fused_shader: bool | None = None
 
 
 def shading_config_from_dict(cfg: dict) -> AppShadingConfig:
@@ -172,9 +181,101 @@ def predict_materials(params, points, feature_vectors, fused: bool = False):
     return metallic, roughness, albedo
 
 
+def fused_shader_supported(cfg: AppShadingConfig) -> bool:
+    """Topology the whole-shader kernel handles (backend gating lives in
+    `_fused_shader_active`; tests drive the kernel in interpret mode)."""
+    return (not cfg.human_light) and cfg.feats_dim == 256 and cfg.ide_deg <= 5
+
+
+_warned_fused_shader_downgrade = False
+
+
+def _fused_shader_active(cfg: AppShadingConfig) -> bool:
+    """Resolve cfg.fused_shader at apply time, in ONE place for every
+    construction path. None = auto: on iff TPU + supported topology + the
+    bf16 hidden-activation context is active (the kernel stores matmul
+    operands in bf16 internally, so an explicit bf16_hidden=False must not
+    be silently overridden — same rule as ShapeConfig.grad_mode)."""
+    from nero_tpu.ops.mlp import current_hidden_dtype
+
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if cfg.fused_shader is None:
+        return (on_tpu and fused_shader_supported(cfg)
+                and current_hidden_dtype() == jnp.bfloat16)
+    if cfg.fused_shader and not (on_tpu and fused_shader_supported(cfg)):
+        global _warned_fused_shader_downgrade
+        if not _warned_fused_shader_downgrade:
+            _warned_fused_shader_downgrade = True
+            import warnings
+            warnings.warn(
+                "shader_config fused_shader=True was requested but the "
+                "whole-shader Pallas kernel is unsupported here "
+                f"(backend={jax.default_backend()}, human_light="
+                f"{cfg.human_light}, feats_dim={cfg.feats_dim}); falling "
+                "back to the XLA shader.", RuntimeWarning, stacklevel=3)
+        return False
+    return bool(cfg.fused_shader)
+
+
+def _app_shading_apply_fused(params, cfg, fg_lut, points, normals, view_dirs,
+                             feature_vectors, inter_results, interpret=False):
+    """Whole-shader Pallas path: raw head outputs from the kernel, final
+    activations + split-sum combine here (identical math to the XLA path
+    below — keep the two in lockstep)."""
+    from nero_tpu.ops.mlp import exp_activation
+    from nero_tpu.ops.pallas.shader_kernel import shader_fused_raw
+
+    raw = shader_fused_raw(params, cfg, points, normals, view_dirs,
+                           feature_vectors, interpret=interpret)
+    metallic = jax.nn.sigmoid(raw["metallic_z"])
+    roughness = jax.nn.sigmoid(raw["roughness_z"])
+    albedo = jax.nn.sigmoid(raw["albedo_z"])
+    diffuse_light = exp_activation(raw["diffuse_light_z"], cfg.light_exp_max)
+    direct_light = exp_activation(raw["direct_light_z"], cfg.light_exp_max)
+    indirect_raw = exp_activation(raw["inner_light_z"], cfg.light_exp_max)
+    occ_prob = raw["occ_z"] * 0.5 + 0.5
+    occ_prob_c = jnp.clip(occ_prob, 0.0, 1.0)
+    reflective = raw["reflective"]
+
+    specular_light = indirect_raw * occ_prob_c + direct_light * (1 - occ_prob_c)
+    indirect_light = indirect_raw * occ_prob_c
+    diffuse_albedo = (1 - metallic) * albedo
+    diffuse_color = diffuse_albedo * diffuse_light
+    specular_albedo = 0.04 * (1 - metallic) + metallic * albedo
+    fg = fg_lookup(fg_lut, jnp.clip(raw["NoV"], 0.0, 1.0),
+                   jnp.clip(roughness, 0.0, 1.0))
+    specular_ref = specular_albedo * fg[..., 0:1] + fg[..., 1:2]
+    specular_color = specular_ref * specular_light
+    color = jnp.clip(linear_to_srgb(diffuse_color + specular_color), 0.0, 1.0)
+
+    occ_info = {"reflective": reflective, "occ_prob": occ_prob}
+    if not inter_results:
+        return color, occ_info
+    inter = {
+        "specular_albedo": specular_albedo,
+        "specular_ref": jnp.clip(specular_ref, 0.0, 1.0),
+        "specular_light": jnp.clip(linear_to_srgb(specular_light), 0.0, 1.0),
+        "specular_color": jnp.clip(linear_to_srgb(specular_color), 0.0, 1.0),
+        "diffuse_albedo": diffuse_albedo,
+        "diffuse_light": jnp.clip(linear_to_srgb(diffuse_light), 0.0, 1.0),
+        "diffuse_color": jnp.clip(linear_to_srgb(diffuse_color), 0.0, 1.0),
+        "metallic": metallic,
+        "roughness": roughness,
+        "occ_prob": jnp.clip(occ_prob, 0.0, 1.0),
+        "indirect_light": indirect_light,
+    }
+    return color, occ_info, inter
+
+
 def app_shading_apply(params, cfg: AppShadingConfig, fg_lut, points, normals, view_dirs,
                       feature_vectors, human_poses, inter_results: bool = False):
     """Shade surface samples; returns (color_srgb, occ_info[, intermediates])."""
+    if _fused_shader_active(cfg):
+        return _app_shading_apply_fused(params, cfg, fg_lut, points, normals,
+                                        view_dirs, feature_vectors, inter_results)
     normals = normals / jnp.maximum(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
     view_dirs = view_dirs / jnp.maximum(jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-12)
     reflective = jnp.sum(view_dirs * normals, -1, keepdims=True) * normals * 2 - view_dirs

@@ -64,6 +64,15 @@ def cast_hidden(x: jnp.ndarray) -> jnp.ndarray:
     return x if dt is None or x.dtype == dt else x.astype(dt)
 
 
+def current_hidden_dtype():
+    """The active hidden-activation storage dtype (None outside any context).
+
+    Lets kernel auto-resolution (e.g. the whole-shader fused kernel, which
+    stores matmul operands in bf16 internally) respect an explicit
+    bf16_hidden=False without plumbing the ShapeConfig through every call."""
+    return _stack()[-1]
+
+
 # ---------------------------------------------------------------------------
 # Initialisers (return a [d_in, d_out] weight; we store x @ W layout)
 # ---------------------------------------------------------------------------

@@ -102,13 +102,30 @@ def main():
             ("fused_sdf", {"use_fused_sdf": True}),
         ]
     if len(_sys.argv) > 1 and _sys.argv[1] == "heads":
-        # fused Pallas predictor heads (ops/pallas/predictor_kernel.py) vs XLA
+        # fused Pallas predictor heads (ops/pallas/predictor_kernel.py) vs XLA.
+        # NOTE: earlier rounds passed fused_heads at the TOP level, where
+        # shape_config_from_dict never reads it — that A/B compared the XLA
+        # path against itself (the recorded "heads neutral" results were
+        # vacuous). Shader fields must go through shader_config.
         variants = [
-            ("heads_xla_512", {}),
-            ("heads_fused_512", {"fused_heads": True}),
-            ("heads_xla_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192}),
+            ("heads_xla_512", {"shader_config": {"fused_shader": False}}),
+            ("heads_fused_512", {"shader_config": {"fused_heads": True,
+                                                   "fused_shader": False}}),
+            ("heads_xla_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
+                                "shader_config": {"fused_shader": False}}),
             ("heads_fused_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
-                                  "fused_heads": True}),
+                                  "shader_config": {"fused_heads": True,
+                                                    "fused_shader": False}}),
+        ]
+    if len(_sys.argv) > 1 and _sys.argv[1] == "shader":
+        # whole-shader fused kernel (ops/pallas/shader_kernel.py) vs XLA
+        variants = [
+            ("shader_xla_512", {"shader_config": {"fused_shader": False}}),
+            ("shader_fused_512", {"shader_config": {"fused_shader": True}}),
+            ("shader_xla_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
+                                 "shader_config": {"fused_shader": False}}),
+            ("shader_fused_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
+                                   "shader_config": {"fused_shader": True}}),
         ]
     if len(_sys.argv) > 1 and _sys.argv[1] == "grad":
         # rev-mode VJP vs the fused SDF-with-grad Pallas kernel
