@@ -221,23 +221,15 @@ def _shader_block(params, geo, feats, const, *, deg: int, pos_freq: int,
     NoV = jnp.sum(normals * view, axis=-1, keepdims=True)
     reflective = NoV * normals * 2.0 - view
 
-    # materials (shared [feats, pts] input). The pts columns enter as three
-    # wide FMAs against rows 256:259 of w1 instead of a zero-padded
-    # [BB,384] concat — saves the pad copies and 1/3 of the w1 matmul K.
-    def _mat_head(p):
-        w1, w2, w3, w4, b = p
-        z = _mm(feats, w1[:HID])
-        for j in range(3):
-            z = z + pts[:, j:j + 1] * w1[HID + j:HID + j + 1].astype(jnp.float32)
-        h = jnp.maximum(z + b[0:1], 0.0)
-        h = jnp.maximum(_mm(h, w2) + b[1:2], 0.0)
-        h = jnp.maximum(_mm(h, w3) + b[2:3], 0.0)
-        z4 = _mm(h, w4)
-        return z4 + b[3:4, :z4.shape[1]]
-
-    metallic_z = _mat_head(p_met)[:, 0:1]
-    roughness_z = _mat_head(p_rough)[:, 0:1]
-    albedo_z = _mat_head(p_alb)[:, 0:3]
+    # materials (shared input). NOTE: a "split first layer" variant (feats
+    # matmul + pts as three [BB,1]x[1,256] broadcast FMAs, no zero padding)
+    # was measured and REJECTED: full step 126.6 -> 133.3 ms @2048 rays —
+    # the narrow broadcasts and their vjp reductions lower worse than the
+    # padded [BB,384] matmul.
+    x_mat = _pad_cols(jnp.concatenate([feats, pts], axis=-1), 384)
+    metallic_z = _head_fwd(p_met, x_mat)[:, 0:1]
+    roughness_z = _head_fwd(p_rough, x_mat)[:, 0:1]
+    albedo_z = _head_fwd(p_alb, x_mat)[:, 0:3]
     roughness = jax.nn.sigmoid(roughness_z)
 
     def sphere_enc(directions, rough):
@@ -362,13 +354,8 @@ def pack_shader_params(params, cfg):
         ws = [l["w"] for l in layers]
         bs = [l["b"] for l in layers]
         assert ws[0].shape == (d_in, HID), (name, ws[0].shape, d_in)
-        if name in ("metallic", "roughness", "albedo"):
-            # split first layer: rows 0:HID multiply feats (matmul), rows
-            # HID:HID+3 multiply pts (wide FMAs) — no zero padding
-            w1 = ws[0]
-        else:
-            DI = _pad_dim(d_in)
-            w1 = jnp.pad(ws[0], ((0, DI - d_in), (0, 0)))
+        DI = _pad_dim(d_in)
+        w1 = jnp.pad(ws[0], ((0, DI - d_in), (0, 0)))
         w4 = jnp.pad(ws[3], ((0, 0), (0, 128 - d_out)))
         b = jnp.zeros((8, HID))
         for l in range(3):
