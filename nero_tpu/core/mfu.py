@@ -136,6 +136,41 @@ def pallas_flops_of_text(hlo_text: str):
     return total, by_kernel, unknown
 
 
+def assert_kernels(names_or_fn, expect: dict, label: str = "", *args, **kwargs):
+    """Abort unless each Pallas kernel-name PREFIX matches its expectation.
+
+    ``expect`` maps a kernel-name prefix (e.g. ``"nero_shader"``) to True
+    (must be present in the compiled program) or False (must be absent).
+    ``names_or_fn`` is either an iterable of compiled kernel names (the keys
+    of ``flops_breakdown``'s ``pallas_by_kernel``) or a jitted callable —
+    in which case it is lowered with ``*args, **kwargs`` and the names are
+    extracted from the compiled HLO here.
+
+    This is the structural fix for the round-3 self-vs-self A/B: a variant
+    whose config silently fell back (``fused_heads`` passed where nothing
+    read it) benchmarked XLA against itself and published "neutral". Every
+    A/B arm now states which kernels its configuration MUST (not) compile
+    to, verified against the actual HLO, so a vacuous arm raises instead
+    of measuring.
+
+    Returns the compiled kernel names for logging.
+    """
+    if callable(names_or_fn):
+        names = list(flops_breakdown(names_or_fn, *args, **kwargs)
+                     ["pallas_by_kernel"])
+    else:
+        names = list(names_or_fn)
+    for prefix, want in expect.items():
+        have = any(n.startswith(prefix) for n in names)
+        if have != want:
+            raise AssertionError(
+                f"{label or 'A/B arm'}: kernel {prefix!r} present={have}, "
+                f"expected present={want} — the arm is not measuring what "
+                f"it claims (compiled Pallas kernels: {names or 'none'}, "
+                f"backend={jax.default_backend()})")
+    return names
+
+
 def mfu(flops_per_step: float, step_time_s: float, device=None) -> float:
     if step_time_s <= 0 or flops_per_step <= 0:
         return 0.0

@@ -44,9 +44,14 @@ class AppShadingConfig(NamedTuple):
     # backward VMEM-resident). Unlike fused_heads (measured neutral), this
     # also keeps the encodings and head inputs out of HBM — the shader VJP
     # was 12.4 ms / 14.8 GB of the 29.6 ms step (round-4 bytes ledger).
-    # None = auto, resolved by render/shape.py::shape_config_from_dict
-    # (TPU + supported topology + bf16 hidden resolved on). human_light
-    # configs fall back to the XLA path (camera-plane IPE not in-kernel).
+    # None = auto, resolved at apply time by `_fused_shader_active` below
+    # (TPU with >=64M VMEM per core + supported topology + bf16 hidden
+    # resolved on). human_light configs fall back to the XLA path
+    # (camera-plane IPE not in-kernel). NOTE: the kernel stores HEAD
+    # WEIGHTS in bf16 and quantizes their cotangents to bf16 too — a
+    # lower-precision gradient path than XLA bf16_hidden (which keeps f32
+    # weights/grads); gated by the 30k training-quality A/B
+    # (tools/quality_shader_ab.py, data/evidence/quality_shader_ab_*.json).
     fused_shader: bool | None = None
 
 
@@ -190,16 +195,31 @@ def fused_shader_supported(cfg: AppShadingConfig) -> bool:
 _warned_fused_shader_downgrade = False
 
 
+def _tpu_vmem_ok() -> bool:
+    """The shader backward kernel requests a 100M VMEM scoped cap
+    (shader_kernel.py::_bwd_call); v4+ cores carry 128M physical VMEM,
+    while v2/v3 (16/32M) would fail at Mosaic compile time rather than
+    fall back — so generation-gate here (ADVICE r4)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return False
+    return any(t in kind for t in ("v4", "v5", "v6", "v7"))
+
+
 def _fused_shader_active(cfg: AppShadingConfig) -> bool:
     """Resolve cfg.fused_shader at apply time, in ONE place for every
-    construction path. None = auto: on iff TPU + supported topology + the
-    bf16 hidden-activation context is active (the kernel stores matmul
-    operands in bf16 internally, so an explicit bf16_hidden=False must not
-    be silently overridden — same rule as ShapeConfig.grad_mode)."""
+    construction path. None = auto: on iff TPU (v4+, see `_tpu_vmem_ok`)
+    + supported topology + the bf16 hidden-activation context is active
+    (the kernel stores matmul operands in bf16 internally, so an explicit
+    bf16_hidden=False must not be silently overridden — same rule as
+    ShapeConfig.grad_mode)."""
     from nero_tpu.ops.mlp import current_hidden_dtype
+    from nero_tpu.ops.pallas.interp import interpret_forced
 
     try:
-        on_tpu = jax.default_backend() == "tpu"
+        on_tpu = ((jax.default_backend() == "tpu" and _tpu_vmem_ok())
+                  or interpret_forced())
     except Exception:
         on_tpu = False
     if cfg.fused_shader is None:
@@ -213,7 +233,9 @@ def _fused_shader_active(cfg: AppShadingConfig) -> bool:
             warnings.warn(
                 "shader_config fused_shader=True was requested but the "
                 "whole-shader Pallas kernel is unsupported here "
-                f"(backend={jax.default_backend()}, human_light="
+                f"(backend={jax.default_backend()}, "
+                f"device_kind={getattr(jax.devices()[0], 'device_kind', '?')}"
+                " — needs TPU v4+ for the 100M VMEM backward, human_light="
                 f"{cfg.human_light}, feats_dim={cfg.feats_dim}); falling "
                 "back to the XLA shader.", RuntimeWarning, stacklevel=3)
         return False

@@ -260,8 +260,9 @@ class NeuralTracer:
             if cache:
                 self._save_cache()
         if use_fused is None:
-            use_fused = (jax.default_backend() == "tpu" and width == 128
-                         and depth == 4)
+            from nero_tpu.ops.pallas.interp import interpret_forced
+            use_fused = ((jax.default_backend() == "tpu" or interpret_forced())
+                         and width == 128 and depth == 4)
         self.use_fused = use_fused
         if use_fused:
             from nero_tpu.ops.pallas.field_kernel import pack_field_params

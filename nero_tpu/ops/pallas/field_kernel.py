@@ -105,6 +105,8 @@ def hlo_flops(name: str, out_shapes, in_shapes):
 def field_fwd_fused(packed, pts: jnp.ndarray, pe: int = 6,
                     interpret: bool = False) -> jnp.ndarray:
     """Fused field eval: [..., 3] -> [...] (no grad; used by the tracer)."""
+    from nero_tpu.ops.pallas.interp import resolve
+    interpret = resolve(interpret)
     # no-grad kernel: sever tangents before the pallas_call (no JVP rule)
     packed = jax.tree_util.tree_map(jax.lax.stop_gradient, packed)
     pts = jax.lax.stop_gradient(pts)

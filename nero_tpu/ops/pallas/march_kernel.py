@@ -251,6 +251,8 @@ def sphere_march_fused(packed, rays_o, rays_d, t_enter, t_exit, *,
     Same contract as march_fused; ~ (n_sphere+n_refine)/(n_coarse+n_refine)
     of its FLOPs. dt_frac defaults to the uniform-32 march's step so the
     thin-feature floor is unchanged."""
+    from nero_tpu.ops.pallas.interp import resolve
+    interpret = resolve(interpret)
     packed = jax.tree_util.tree_map(jax.lax.stop_gradient, packed)
     stack = jnp.concatenate([
         jax.lax.stop_gradient(rays_o).T,
@@ -290,6 +292,8 @@ def march_fused(packed, rays_o, rays_d, t_enter, t_exit, *, pe: int = 6,
     with their own validity, exactly as neural_trace does. No gradients
     flow (visibility is a discrete decision); tangents are severed.
     """
+    from nero_tpu.ops.pallas.interp import resolve
+    interpret = resolve(interpret)
     packed = jax.tree_util.tree_map(jax.lax.stop_gradient, packed)
     stack = jnp.concatenate([
         jax.lax.stop_gradient(rays_o).T,

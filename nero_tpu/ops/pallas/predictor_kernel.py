@@ -230,6 +230,8 @@ def predictor_fused(layers, x: jnp.ndarray, interpret: bool = False) -> jnp.ndar
     caller applies the final activation. Gradients flow to both `layers`
     and `x`.
     """
+    from nero_tpu.ops.pallas.interp import resolve
+    interpret = resolve(interpret)
     d_in = x.shape[-1]
     resolved = resolve_weight_norm(layers)
     d_out = resolved[3]["w"].shape[1]

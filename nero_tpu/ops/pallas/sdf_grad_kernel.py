@@ -476,6 +476,8 @@ def sdf_with_grad_fused(params, x: jnp.ndarray, cfg: SDFConfig,
     shape = x.shape[:-1]
     n = int(np.prod(shape))
     packed = pack_sdf_grad_params(params, cfg)
+    from nero_tpu.ops.pallas.interp import resolve
+    interpret = resolve(interpret)
     packed_tuple = tuple(packed[k] for k in _PACK_NAMES)
     bb = max(BB_FWD, BB_BWD)
     n_pad = (-n) % bb

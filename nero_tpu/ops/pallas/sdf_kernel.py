@@ -149,6 +149,8 @@ def sdf_fwd_fused(packed, pts: jnp.ndarray, cfg: SDFConfig,
                   interpret: bool = False) -> jnp.ndarray:
     """Fused no-grad SDF forward: [..., 3] -> [..., 1]. TPU fast path
     (interpret=True runs the same kernel in the Pallas interpreter for tests)."""
+    from nero_tpu.ops.pallas.interp import resolve
+    interpret = resolve(interpret)
     # no-grad kernel: sever tangents BEFORE the pallas_call so autodiff never
     # asks it for a JVP (callers use it only on stop-gradient paths)
     packed = jax.tree_util.tree_map(jax.lax.stop_gradient, packed)

@@ -8,7 +8,8 @@ linear->sRGB combine stay OUTSIDE the kernel (they touch only [N,<=3]
 tensors — byte-trivial — and the gather doesn't lower well in Mosaic).
 
 Why fuse the WHOLE shader rather than per-head (ops/pallas/predictor_kernel
-.py, measured neutral at both 512 and 2048 rays): the round-4 bytes ledger
+.py — whose round-3 "measured neutral" A/B later turned out to be vacuous,
+XLA vs itself; see tools/bench_stage1_ab.py): the round-4 bytes ledger
 (tools/profile_core_parts.py, data/r4_tpu/parts_bf16.log) shows the shader
 VJP at 12.4 ms / 14.8 GB — ~56% of the fused step's counted bytes — and the
 traffic is the *encodings* (IDE 72ch x 2 calls + PE 51/39ch), the six head
@@ -490,6 +491,8 @@ def shader_fused_raw(params, cfg, points, normals, view_dirs, feats,
     shape = points.shape[:-1]
     n = int(np.prod(shape))
     flat = pack_shader_params(params, cfg)
+    from nero_tpu.ops.pallas.interp import resolve
+    interpret = resolve(interpret)
 
     geo = jnp.concatenate([
         points.reshape(n, 3), normals.reshape(n, 3), view_dirs.reshape(n, 3),

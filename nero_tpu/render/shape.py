@@ -215,7 +215,8 @@ def _warn_fused_downgrade(scfg: "ShapeConfig") -> None:
 
 
 def _fused_sdf_supported(scfg: "ShapeConfig") -> bool:
-    if not _on_tpu():
+    from nero_tpu.ops.pallas.interp import interpret_forced
+    if not (_on_tpu() or interpret_forced()):
         return False
     c = scfg.sdf_cfg
     return (c.n_layers == 8 and c.d_hidden == 256 and c.multires > 0

@@ -189,3 +189,25 @@ def test_sdf_grad_bwd_counter_matches_interpret_kernel():
 def test_flops_breakdown_no_pallas_graph():
     b = flops_breakdown(jax.jit(lambda x: x @ x), jnp.zeros((64, 64)))
     assert b["pallas"] == 0.0 and b["total"] == b["xla"] > 0
+
+
+# --------------------------------------------------------------------------
+# (d) A/B engagement guard: a self-vs-self arm must abort (VERDICT r4 #4)
+# --------------------------------------------------------------------------
+
+
+def test_assert_kernels_aborts_on_vacuous_arm():
+    from nero_tpu.core.mfu import assert_kernels
+
+    fn = jax.jit(lambda x: x @ x)  # compiles NO pallas kernels (CPU / XLA)
+    x = jnp.zeros((64, 64))
+    # honest expectation: absent -> passes, returns the compiled names
+    assert assert_kernels(fn, {"nero_shader": False}, "xla arm", x) == []
+    # vacuous arm: claims the fused kernel is engaged, but HLO has none
+    with pytest.raises(AssertionError, match="nero_shader"):
+        assert_kernels(fn, {"nero_shader": True}, "fused arm", x)
+    # name-list form (ceiling_stage2.run_variant feeds pallas_by_kernel keys)
+    assert_kernels(["nero_smarch_s20_r8"], {"nero_smarch_": True,
+                                            "nero_march_": False})
+    with pytest.raises(AssertionError, match="nero_march_"):
+        assert_kernels(["nero_smarch_s20_r8"], {"nero_march_": True})

@@ -88,11 +88,16 @@ def quality(scene="bowl"):
 def speed():
     from tools.ceiling_stage2 import run_variant
     for scene in ("sphere", "bowl"):
+        # HLO-verified arms (core/mfu.py::assert_kernels): the uniform arm
+        # must compile nero_march_* and NOT nero_smarch_*, and vice versa —
+        # a silent fallback aborts instead of measuring XLA vs itself.
         run_variant(f"{scene}_uniform", scene=scene,
-                    extra={"tracer_march_mode": "uniform"})
+                    extra={"tracer_march_mode": "uniform"},
+                    expect_kernels={"nero_march_": True, "nero_smarch_": False})
         run_variant(f"{scene}_sphere20", scene=scene,
                     extra={"tracer_march_mode": "sphere",
-                           "tracer_n_sphere": 20})
+                           "tracer_n_sphere": 20},
+                    expect_kernels={"nero_smarch_": True, "nero_march_": False})
 
 
 if __name__ == "__main__":

@@ -20,8 +20,14 @@ def bench_variant(name, extra_cfg):
     import jax
     import optax
     import jax.numpy as jnp
+    from nero_tpu.core import mfu
     from nero_tpu.models.shape import NeROShapeModel
 
+    # {kernel-name-prefix: must-be-present} — verified against the compiled
+    # HLO below so a variant that silently fell back aborts instead of
+    # publishing a self-vs-self number (the round-3 'heads neutral' failure)
+    extra_cfg = dict(extra_cfg)
+    expect_kernels = extra_cfg.pop("expect_kernels", None)
     cfg = {
         "name": f"ab_{name}",
         "network": "shape",
@@ -47,6 +53,10 @@ def bench_variant(name, extra_cfg):
     data = model.train_data
     key = jax.random.PRNGKey(0)
     step_idx = jnp.asarray(25000)
+
+    if expect_kernels is not None:
+        mfu.assert_kernels(step_fn, expect_kernels, f"variant {name}",
+                           params, opt_state, key, step_idx, data)
 
     for i in range(12):
         params, opt_state, log = step_fn(params, opt_state,
@@ -107,34 +117,51 @@ def main():
         # shape_config_from_dict never reads it — that A/B compared the XLA
         # path against itself (the recorded "heads neutral" results were
         # vacuous). Shader fields must go through shader_config.
+        _noheads = {"nero_predictor": False, "nero_shader": False}
+        _heads = {"nero_predictor": True, "nero_shader": False}
         variants = [
-            ("heads_xla_512", {"shader_config": {"fused_shader": False}}),
+            ("heads_xla_512", {"shader_config": {"fused_shader": False},
+                               "expect_kernels": _noheads}),
             ("heads_fused_512", {"shader_config": {"fused_heads": True,
-                                                   "fused_shader": False}}),
+                                                   "fused_shader": False},
+                                 "expect_kernels": _heads}),
             ("heads_xla_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
-                                "shader_config": {"fused_shader": False}}),
+                                "shader_config": {"fused_shader": False},
+                                "expect_kernels": _noheads}),
             ("heads_fused_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
                                   "shader_config": {"fused_heads": True,
-                                                    "fused_shader": False}}),
+                                                    "fused_shader": False},
+                                  "expect_kernels": _heads}),
         ]
     if len(_sys.argv) > 1 and _sys.argv[1] == "shader":
         # whole-shader fused kernel (ops/pallas/shader_kernel.py) vs XLA
         variants = [
-            ("shader_xla_512", {"shader_config": {"fused_shader": False}}),
-            ("shader_fused_512", {"shader_config": {"fused_shader": True}}),
+            ("shader_xla_512", {"shader_config": {"fused_shader": False},
+                                "expect_kernels": {"nero_shader": False}}),
+            ("shader_fused_512", {"shader_config": {"fused_shader": True},
+                                  "expect_kernels": {"nero_shader": True}}),
             ("shader_xla_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
-                                 "shader_config": {"fused_shader": False}}),
+                                 "shader_config": {"fused_shader": False},
+                                 "expect_kernels": {"nero_shader": False}}),
             ("shader_fused_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
-                                   "shader_config": {"fused_shader": True}}),
+                                   "shader_config": {"fused_shader": True},
+                                   "expect_kernels": {"nero_shader": True}}),
         ]
     if len(_sys.argv) > 1 and _sys.argv[1] == "grad":
-        # rev-mode VJP vs the fused SDF-with-grad Pallas kernel
+        # rev-mode VJP vs the fused SDF-with-grad Pallas kernel. The rev arms
+        # pin sdf_grad_mode explicitly: on TPU an empty config auto-resolves
+        # to 'fused', which would silently compare fused against fused.
         variants = [
-            ("grad_rev_512", {}),
-            ("grad_fused_512", {"sdf_grad_mode": "fused"}),
-            ("grad_rev_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192}),
+            ("grad_rev_512", {"sdf_grad_mode": "rev",
+                              "expect_kernels": {"nero_sdf_grad": False}}),
+            ("grad_fused_512", {"sdf_grad_mode": "fused",
+                                "expect_kernels": {"nero_sdf_grad": True}}),
+            ("grad_rev_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
+                               "sdf_grad_mode": "rev",
+                               "expect_kernels": {"nero_sdf_grad": False}}),
             ("grad_fused_2048", {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
-                                 "sdf_grad_mode": "fused"}),
+                                 "sdf_grad_mode": "fused",
+                                 "expect_kernels": {"nero_sdf_grad": True}}),
         ]
     if len(_sys.argv) > 1 and _sys.argv[1] == "topk":
         variants = [

@@ -60,7 +60,7 @@ def _mesh(scene):
 
 
 def run_variant(name, scene="sphere", pts=512, diffuse=512, specular=256,
-                inner_compact="auto", extra=None):
+                inner_compact="auto", extra=None, expect_kernels=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -103,6 +103,8 @@ def run_variant(name, scene="sphere", pts=512, diffuse=512, specular=256,
     byt = float(ca.get("bytes accessed", 0.0))
     pallas_flops, by_kernel, _ = mfu_mod.pallas_flops_of_text(compiled.as_text())
     flops = xla_flops + pallas_flops
+    if expect_kernels is not None:
+        mfu_mod.assert_kernels(by_kernel, expect_kernels, f"variant {name}")
 
     for i in range(8):
         params, opt_state, log = jitted(params, opt_state, jax.random.fold_in(key, i))

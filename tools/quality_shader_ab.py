@@ -47,13 +47,9 @@ def run(fused: bool, n_steps: int, seed: int = 0):
 
     # Fail loudly if the fused variant silently fell back to the XLA shader
     # (off-TPU / unsupported topology) — the A/B would be vacuous (ADVICE r3).
-    fb = mfu.flops_breakdown(step_fn, params, opt_state,
-                             jax.random.fold_in(key, 0), jnp.asarray(0),
-                             model.train_data)
-    has_kernel = any(k.startswith("nero_shader_") for k in fb["pallas_by_kernel"])
-    assert has_kernel == fused, (
-        f"variant {mode}: shader kernel present={has_kernel} "
-        f"(backend={jax.default_backend()}) — gate would be vacuous")
+    mfu.assert_kernels(step_fn, {"nero_shader_": fused}, f"variant {mode}",
+                       params, opt_state, jax.random.fold_in(key, 0),
+                       jnp.asarray(0), model.train_data)
 
     losses, curve = [], {}
     for i in range(n_steps):
