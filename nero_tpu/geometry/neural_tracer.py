@@ -38,16 +38,52 @@ from nero_tpu.utils.encodings import positional_encode, positional_encode_dim
 # The distilled field
 # ---------------------------------------------------------------------------
 
-def init_field(key, width: int = 128, depth: int = 4, pe: int = 6):
-    in_dim = positional_encode_dim(3, pe)
-    dims = [in_dim] + [width] * (depth - 1) + [1]
+# 'wide' topology (VERDICT r4 next #2): the march kernel's first matmul
+# contracts K=48 PE channels against the MXU's 128-wide contraction — the
+# [48,128] layer costs a full 128-K tile of issue time for 38% of its
+# FLOPs. The wide field folds a FINER frequency ladder into a K=123 first
+# layer and drops one hidden layer: 3 matmuls/eval instead of 4, every one
+# full-K. Ladder choice measured on the test sphere mesh (300-step
+# distill): QUARTER-octave spacing capped at ~2^4.75 (4 double-angle
+# chains x 5 octaves) fits RMS 0.0019 / agreement 0.971 vs std's
+# 0.0026 / 0.960 — while an octave ladder extended to 2^9.5 RIPPLES in
+# empty space (uniform samples can't constrain ~500-cycle components) and
+# craters agreement to 0.83. Finer spacing at the same max frequency
+# helps; higher max frequency hurts. Near-band RMS and the >=0.98
+# clearing-agreement gate (tools/ab_sphere_march.py topology) arbitrate,
+# as for every other tracer approximation.
+WIDE_CHAINS = ((1.0, 5), (2.0 ** 0.25, 5), (2.0 ** 0.5, 5),
+               (2.0 ** 0.75, 5))  # (base_freq, n_octaves)
+WIDE_DIM = 3 + sum(6 * n for _, n in WIDE_CHAINS)  # 123
+
+
+def wide_encode(x: jnp.ndarray) -> jnp.ndarray:
+    """Feature-last wide PE; row order matches march_kernel._pe_rows_wide."""
+    feats = [x]
+    for base, n_oct in WIDE_CHAINS:
+        a = x * base
+        for _ in range(n_oct):
+            feats.append(jnp.sin(a))
+            feats.append(jnp.cos(a))
+            a = a * 2.0
+    return jnp.concatenate(feats, axis=-1)
+
+
+def init_field(key, width: int = 128, depth: int = 4, pe: int = 6,
+               topology: str = "std"):
+    if topology == "wide":
+        dims = [WIDE_DIM, width, width, 1]
+    else:
+        in_dim = positional_encode_dim(3, pe)
+        dims = [in_dim] + [width] * (depth - 1) + [1]
     keys = jax.random.split(key, len(dims) - 1)
     return {"layers": [init_dense(k, dims[i], dims[i + 1], weight_norm=False)
                        for i, k in enumerate(keys)]}
 
 
-def field_apply(params, x: jnp.ndarray, pe: int = 6) -> jnp.ndarray:
-    h = positional_encode(x, pe)
+def field_apply(params, x: jnp.ndarray, pe: int = 6,
+                topology: str = "std") -> jnp.ndarray:
+    h = wide_encode(x) if topology == "wide" else positional_encode(x, pe)
     layers = params["layers"]
     for layer in layers[:-1]:
         h = jax.nn.relu(apply_dense(layer, h))
@@ -80,14 +116,15 @@ def _sample_training_points(vertices, triangles, n_surface, n_uniform, bound, rn
 
 def distill_field(vertices, triangles, bvh_np, *, width=128, depth=4, pe=6,
                   n_samples=1_500_000, steps=3000, batch=65536, clamp=0.1,
-                  seed=0, bound=1.05):
+                  seed=0, bound=1.05, topology="std"):
     """Fit the field to exact mesh signed distances. Returns (params, rms_band)."""
     rng = np.random.RandomState(seed)
     pts = _sample_training_points(vertices, triangles, int(n_samples * 0.7),
                                   n_samples - int(n_samples * 0.7), bound, rng)
     target = np.clip(mesh_sdf_points(bvh_np, pts), -clamp, clamp)
 
-    params = init_field(jax.random.PRNGKey(seed), width, depth, pe)
+    params = init_field(jax.random.PRNGKey(seed), width, depth, pe,
+                        topology=topology)
     warmup = min(100, max(1, steps // 10))
     opt = optax.adam(optax.warmup_cosine_decay_schedule(0.0, 2e-3, warmup,
                                                         steps, 1e-4))
@@ -102,7 +139,7 @@ def distill_field(vertices, triangles, bvh_np, *, width=128, depth=4, pe=6,
         t = tgt_j[idx]
 
         def loss_fn(p):
-            pred = jnp.clip(field_apply(p, x), -clamp, clamp)
+            pred = jnp.clip(field_apply(p, x, pe, topology), -clamp, clamp)
             return jnp.mean((pred - t) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -126,7 +163,8 @@ def distill_field(vertices, triangles, bvh_np, *, width=128, depth=4, pe=6,
 
     # report the near-band residual (what visibility accuracy depends on)
     band = np.abs(target) < 0.02
-    pred = np.asarray(field_apply(params, jnp.asarray(pts[band][:100000])))
+    pred = np.asarray(field_apply(params, jnp.asarray(pts[band][:100000]),
+                                  pe, topology))
     rms = float(np.sqrt(np.mean((pred - target[band][:100000]) ** 2)))
     return params, rms
 
@@ -136,11 +174,13 @@ def distill_field(vertices, triangles, bvh_np, *, width=128, depth=4, pe=6,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("n_coarse", "n_refine", "use_fused",
-                                   "march_mode", "n_sphere", "margin"))
+                                   "march_mode", "n_sphere", "margin",
+                                   "topology"))
 def neural_trace(params, packed, rays_o, rays_d, bound: float, far=10.0,
                  n_coarse: int = 32, n_refine: int = 8, t0: float = 0.012,
                  use_fused: bool = False, march_mode: str = "uniform",
-                 n_sphere: int = 16, margin: float = 0.003):
+                 n_sphere: int = 16, margin: float = 0.003,
+                 topology: str = "std"):
     """March the field, find the first +->- sign change, bisect, grad normal.
 
     Returns (t [R], normal [R,3] inward (-grad), hit [R]). With use_fused the
@@ -167,16 +207,17 @@ def neural_trace(params, packed, rays_o, rays_d, bound: float, far=10.0,
             t_mid, found = sphere_march_fused(
                 packed, rays_o, rays_d, t_enter, t_exit, n_sphere=n_sphere,
                 n_refine=n_refine, t0=t0, margin=margin,
-                dt_frac=1.0 / (n_coarse - 1))
+                dt_frac=1.0 / (n_coarse - 1), topology=topology)
         else:
             from nero_tpu.ops.pallas.march_kernel import march_fused
             t_mid, found = march_fused(packed, rays_o, rays_d, t_enter,
                                        t_exit, n_coarse=n_coarse,
-                                       n_refine=n_refine, t0=t0)
+                                       n_refine=n_refine, t0=t0,
+                                       topology=topology)
         hit = found & valid
         t_hit = jnp.where(hit, t_mid, far)
     else:
-        field_eval = lambda pts: field_apply(params, pts)
+        field_eval = lambda pts: field_apply(params, pts, topology=topology)
         ts = t_enter[:, None] + (t_exit - t_enter)[:, None] \
             * jnp.linspace(0.0, 1.0, n_coarse)[None, :]
         pts = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
@@ -206,7 +247,8 @@ def neural_trace(params, packed, rays_o, rays_d, bound: float, far=10.0,
         t_hit = jnp.where(hit, 0.5 * (t_lo + t_hi), far)
 
     hit_pts = rays_o + rays_d * t_hit[:, None]
-    grad = jax.grad(lambda p: jnp.sum(field_apply(params, p)))(hit_pts)
+    grad = jax.grad(lambda p: jnp.sum(field_apply(params, p,
+                                                  topology=topology)))(hit_pts)
     gn = jnp.linalg.norm(grad, axis=-1, keepdims=True)
     normal = jnp.where(hit[:, None], -grad / jnp.maximum(gn, 1e-9), 0.0)
     return t_hit, normal, hit
@@ -236,17 +278,19 @@ class NeuralTracer:
                  n_refine: int = 8, seed: int = 0, verbose: bool = True,
                  use_fused: bool | None = None, cache: bool = True,
                  distill_samples: int = 1_500_000, distill_batch: int = 65536,
-                 march_mode: str = "sphere", n_sphere: int = 20):
+                 march_mode: str = "sphere", n_sphere: int = 20,
+                 field_topology: str = "std"):
         self.far = far
         self.n_coarse = n_coarse
         self.n_refine = n_refine
         self.march_mode = march_mode
         self.n_sphere = n_sphere
+        self.field_topology = field_topology
         self._bvh_tracer = RayTracer(vertices, triangles, far=far)
         self.bound = float(np.linalg.norm(vertices, axis=-1).max() * 1.05 + 0.02)
         cached = self._load_cache(vertices, triangles, width, depth, pe,
                                   distill_steps, seed, distill_samples,
-                                  distill_batch) if cache else None
+                                  distill_batch, field_topology) if cache else None
         if cached is not None:
             self.field_params, self.distill_rms = cached
             if verbose:
@@ -256,26 +300,29 @@ class NeuralTracer:
                 vertices, triangles, self._bvh_tracer._bvh_np,
                 width=width, depth=depth, pe=pe, steps=distill_steps, seed=seed,
                 bound=self.bound, n_samples=distill_samples,
-                batch=distill_batch)
+                batch=distill_batch, topology=field_topology)
             if cache:
                 self._save_cache()
         if use_fused is None:
             from nero_tpu.ops.pallas.interp import interpret_forced
             use_fused = ((jax.default_backend() == "tpu" or interpret_forced())
-                         and width == 128 and depth == 4)
+                         and width == 128
+                         and (depth == 4 or field_topology == "wide"))
         self.use_fused = use_fused
         if use_fused:
             from nero_tpu.ops.pallas.field_kernel import pack_field_params
-            self.packed = pack_field_params(self.field_params, pe)
+            self.packed = pack_field_params(self.field_params, pe,
+                                            topology=field_topology)
         else:
             self.packed = self.field_params  # placeholder pytree
         if verbose:
-            print(f"[NeuralTracer] distilled {width}x{depth} field; "
+            print(f"[NeuralTracer] distilled {width}x{depth} "
+                  f"{field_topology} field; "
                   f"near-band RMS {self.distill_rms:.4f}; fused={use_fused}")
 
     # -------------------------------------------------------------- cache
     def _load_cache(self, vertices, triangles, width, depth, pe, steps, seed,
-                    n_samples, batch):
+                    n_samples, batch, topology="std"):
         """Distilled fields are deterministic in (mesh, hyperparams, seed) —
         cache them on disk so every CLI that rebuilds the material model
         (train / validate / extract / bake) pays distillation once."""
@@ -285,7 +332,7 @@ class NeuralTracer:
         h.update(np.ascontiguousarray(vertices, np.float32).tobytes())
         h.update(np.ascontiguousarray(triangles, np.int32).tobytes())
         h.update(f"w{width}d{depth}pe{pe}s{steps}seed{seed}n{n_samples}"
-                 f"b{batch}v1".encode())
+                 f"b{batch}v1t{topology}".encode())
         self._cache_path = os.path.join(self.CACHE_DIR, h.hexdigest() + ".npz")
         if not os.path.exists(self._cache_path):
             return None
@@ -319,6 +366,7 @@ class NeuralTracer:
                                       self.bound, self.far)
         n_coarse, n_refine, use_fused = self.n_coarse, self.n_refine, self.use_fused
         march_mode, n_sphere = self.march_mode, self.n_sphere
+        topology = self.field_topology
         # sphere-trace safety margin against field error: 3x the measured
         # near-band distill RMS (the field must not claim "far" when near)
         margin = max(0.002, 3.0 * float(self.distill_rms))
@@ -328,7 +376,8 @@ class NeuralTracer:
                                           bound, far, n_coarse, n_refine,
                                           use_fused=use_fused,
                                           march_mode=march_mode,
-                                          n_sphere=n_sphere, margin=margin)
+                                          n_sphere=n_sphere, margin=margin,
+                                          topology=topology)
             inters = rays_o + rays_d * t[:, None]
             return inters, normal, t[:, None], hit
         return fn

@@ -66,6 +66,12 @@ DEFAULT_MATERIAL_CFG = {
     # always marches uniformly.
     "tracer_march_mode": "sphere",
     "tracer_n_sphere": 20,
+    # distilled-field topology: 'std' (PE6 -> 4x128 MLP) or 'wide' (finer
+    # dual-chain PE folded into a K=123 first layer, one hidden layer fewer
+    # -> 3 full-K matmuls/eval instead of 4; geometry/neural_tracer.py).
+    # Gated like every tracer approximation: near-band RMS + >=0.98
+    # clearing agreement (tools/ab_sphere_march.py topology).
+    "tracer_field_topology": "std",
     # if the distilled field's near-band RMS exceeds this, the mesh is too
     # hard for the neural tracer — fall back to the exact grid tracer and say
     # so loudly (visibility errors silently poison Stage-II otherwise)
@@ -111,6 +117,7 @@ class NeROMaterialModel:
                 n_coarse=self.cfg["tracer_n_coarse"],
                 march_mode=self.cfg["tracer_march_mode"],
                 n_sphere=self.cfg["tracer_n_sphere"],
+                field_topology=self.cfg["tracer_field_topology"],
                 seed=self.cfg["random_seed"])
             threshold = self.cfg["tracer_rms_fallback"]
             if self.ray_tracer.distill_rms > threshold:

@@ -23,16 +23,27 @@ BLOCK_N = 4096  # measured best on v5e (19.1 TF/s vs 18.8 @2048)
 FEAT_PAD = 48  # 3 + 36 PE rows, padded to a multiple of 8 sublanes
 
 
-def pack_field_params(params, pe: int = 6):
+def pack_field_params(params, pe: int = 6, topology: str = "std"):
     """Pad the field MLP (ops from geometry/neural_tracer.py) into kernel layout.
 
-    Returns dict: w0 [FEAT_PAD,128], b0 [1,128], w1/w2 [128,128], b1/b2 [1,128],
-    w3t [128,8] (col 0 = output), b3 [1,8]."""
+    std: dict w0 [FEAT_PAD,128], b0 [1,128], w1/w2 [128,128], b1/b2 [1,128],
+    w3t [128,8] (col 0 = output), b3 [1,8].
+    wide (3 dense layers, K=123 first contraction): w0 [128,128], b0, w1
+    [128,128], b1, w2t [128,8], b2 [1,8]."""
     layers = params["layers"]
-    assert len(layers) == 4, "kernel supports the default 4-layer field"
-    in_dim = 3 + 6 * pe
     width = layers[0]["w"].shape[1]
     assert width == 128, "kernel assumes width 128"
+    if topology == "wide":
+        from nero_tpu.geometry.neural_tracer import WIDE_DIM
+        assert len(layers) == 3, "wide topology is 3 dense layers"
+        assert layers[0]["w"].shape[0] == WIDE_DIM, layers[0]["w"].shape
+        w0 = jnp.zeros((128, width)).at[:WIDE_DIM].set(layers[0]["w"])
+        w2t = jnp.zeros((width, 8)).at[:, 0].set(layers[2]["w"][:, 0])
+        b2 = jnp.zeros((1, 8)).at[0, 0].set(layers[2]["b"][0])
+        return {"w0": w0, "b0": layers[0]["b"][None], "w1": layers[1]["w"],
+                "b1": layers[1]["b"][None], "w2t": w2t, "b2": b2}
+    assert len(layers) == 4, "kernel supports the default 4-layer field"
+    in_dim = 3 + 6 * pe
     w0 = jnp.zeros((FEAT_PAD, width)).at[:in_dim].set(layers[0]["w"])
     w3t = jnp.zeros((width, 8)).at[:, 0].set(layers[3]["w"][:, 0])
     b3 = jnp.zeros((1, 8)).at[0, 0].set(layers[3]["b"][0])
@@ -94,6 +105,9 @@ def _field_fwd_t(pts_t, packed, pe: int = 6, interpret: bool = False):
 # per-point matmul FLOPs of the 4-layer field (w0 [48,128], w1/w2 [128,128],
 # w3t [128,8]); published for core/mfu.py's Pallas FLOP accounting
 POINT_FLOPS = 2 * (FEAT_PAD * 128 + 2 * 128 * 128 + 128 * 8)
+# wide topology: 3 matmuls, every one full-K (w0 [128,128] @ K=123 padded,
+# w1 [128,128], w2t [128,8])
+POINT_FLOPS_WIDE = 2 * (128 * 128 + 128 * 128 + 128 * 8)
 
 
 def hlo_flops(name: str, out_shapes, in_shapes):

@@ -75,18 +75,69 @@ def _field_eval_t(pts_t, w0, b0, w1, b1, w2, b2, w3t, b3, pe: int):
     return out[0:1] + b3[0, 0]
 
 
-def _march_kernel(rays_ref, w0, b0, w1, b1, w2, b2, w3t, b3, out_ref, *,
-                  pe, n_coarse, n_refine, t0):
+def _pe_rows_wide(xyz):
+    """[3,N] -> [WIDE_DIM,N] dual-chain PE (bases 1 and sqrt2, 10 octaves
+    each via the double-angle recurrence — 4 transcendentals per coord
+    total). Row order matches neural_tracer.wide_encode."""
+    from nero_tpu.geometry.neural_tracer import WIDE_CHAINS
+
+    rows = [xyz]
+    for base, n_oct in WIDE_CHAINS:
+        s = jnp.sin(xyz * base)
+        c = jnp.cos(xyz * base)
+        for i in range(n_oct):
+            rows.append(s)
+            rows.append(c)
+            if i + 1 < n_oct:
+                s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+    return jnp.concatenate(rows, axis=0)
+
+
+def _field_eval_t_wide(pts_t, w0, b0, w1, b1, w2t, b2):
+    """Wide-topology eval: [3,N] -> [1,N] in THREE full-K matmuls
+    ([128pad,128] @ K=123, [128,128], output-transposed [128,8])."""
+    feats = _pe_rows_wide(pts_t)
+    feats = jnp.concatenate(
+        [feats, jnp.zeros((128 - feats.shape[0], feats.shape[1]),
+                          feats.dtype)], axis=0)
+    cast = lambda a: a.astype(jnp.bfloat16)
+    h = jax.lax.dot_general(cast(feats), cast(w0),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = jax.nn.relu(h + b0)
+    h = jax.nn.relu(jnp.dot(cast(h), cast(w1),
+                            preferred_element_type=jnp.float32) + b1)
+    out = jax.lax.dot_general(cast(w2t), cast(h),
+                              dimension_numbers=(((0,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out[0:1] + b2[0, 0]
+
+
+def _weight_names(topology: str):
+    return (["w0", "b0", "w1", "b1", "w2t", "b2"] if topology == "wide"
+            else ["w0", "b0", "w1", "b1", "w2", "b2", "w3t", "b3"])
+
+
+def _make_field(ws, pe: int, topology: str):
+    """field(pts_t [3,N]) -> [1,N] closure over loaded weight refs."""
+    if topology == "wide":
+        return lambda p: _field_eval_t_wide(p, *ws)
+    return lambda p: _field_eval_t(p, *ws, pe)
+
+
+def _march_kernel(rays_ref, *refs, pe, n_coarse, n_refine, t0, topology):
+    out_ref = refs[-1]
+    ws = [w[...] for w in refs[:-1]]
     r = rays_ref[...]          # [8, BR]: rows 0-2 origin, 3-5 dir, 6/7 t range
     o = r[0:3]
     d = r[3:6]
     t_enter = r[6:7]
     t_exit = r[7:8]
     dt = (t_exit - t_enter) / (n_coarse - 1)
+    fld = _make_field(ws, pe, topology)
 
     def field(t):              # t [1, BR] -> sdf values [1, BR]
-        return _field_eval_t(o + d * t, w0[...], b0[...], w1[...], b1[...],
-                             w2[...], b2[...], w3t[...], b3[...], pe)
+        return fld(o + d * t)
 
     v0 = field(t_enter)
     # `found` rides the loop as f32 0/1 — Mosaic can't legalize i1 vector
@@ -120,20 +171,22 @@ def _march_kernel(rays_ref, w0, b0, w1, b1, w2, b2, w3t, b3, out_ref, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("pe", "n_coarse", "n_refine", "t0",
-                                    "interpret"))
+                                    "interpret", "topology"))
 def _march_t(rays_t, packed, pe: int, n_coarse: int, n_refine: int,
-             t0: float, interpret: bool = False):
+             t0: float, interpret: bool = False, topology: str = "std"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = rays_t.shape[1]
-    names = ["w0", "b0", "w1", "b1", "w2", "b2", "w3t", "b3"]
+    names = _weight_names(topology)
+    suffix = "_w" if topology == "wide" else ""
     return pl.pallas_call(
         functools.partial(_march_kernel, pe=pe, n_coarse=n_coarse,
-                          n_refine=n_refine, t0=t0),
+                          n_refine=n_refine, t0=t0, topology=topology),
         # field evals/ray = n_coarse + n_refine, encoded in the name so
         # core/mfu.py can recover the trip counts from the compiled HLO
-        name=f"nero_march_c{n_coarse}_r{n_refine}",
+        # (the _w suffix selects the wide per-eval FLOP count)
+        name=f"nero_march_c{n_coarse}_r{n_refine}{suffix}",
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=(n // BLOCK_R,),
         in_specs=[pl.BlockSpec((8, BLOCK_R), lambda i: (0, i),
@@ -145,9 +198,8 @@ def _march_t(rays_t, packed, pe: int, n_coarse: int, n_refine: int,
     )(rays_t, *[packed[k] for k in names])
 
 
-def _sphere_march_kernel(rays_ref, w0, b0, w1, b1, w2, b2, w3t, b3, out_ref, *,
-                         pe, n_sphere, n_refine, t0, margin, lip, dt_frac,
-                         cap_frac):
+def _sphere_march_kernel(rays_ref, *refs, pe, n_sphere, n_refine, t0,
+                         margin, lip, dt_frac, cap_frac, topology):
     """Fixed-iteration sphere trace of the distilled SDF + bisection.
 
     The uniform coarse march (_march_kernel) pays n_coarse field evals per
@@ -166,6 +218,8 @@ def _sphere_march_kernel(rays_ref, w0, b0, w1, b1, w2, b2, w3t, b3, out_ref, *,
     (tests/test_neural_tracer.py, >=0.98 vs the exact BVH) is the arbiter,
     as for every other tracer approximation.
     """
+    out_ref = refs[-1]
+    ws = [w[...] for w in refs[:-1]]
     r = rays_ref[...]          # [8, BR]
     o = r[0:3]
     d = r[3:6]
@@ -174,10 +228,10 @@ def _sphere_march_kernel(rays_ref, w0, b0, w1, b1, w2, b2, w3t, b3, out_ref, *,
     chord = t_exit - t_enter
     dt_min = chord * dt_frac
     cap = chord * cap_frac
+    fld = _make_field(ws, pe, topology)
 
     def field(t):
-        return _field_eval_t(o + d * t, w0[...], b0[...], w1[...], b1[...],
-                             w2[...], b2[...], w3t[...], b3[...], pe)
+        return fld(o + d * t)
 
     def step_of(v):
         return jnp.clip(lip * v - margin, dt_min, cap)
@@ -216,20 +270,23 @@ def _sphere_march_kernel(rays_ref, w0, b0, w1, b1, w2, b2, w3t, b3, out_ref, *,
 @functools.partial(jax.jit,
                    static_argnames=("pe", "n_sphere", "n_refine", "t0",
                                     "margin", "lip", "dt_frac", "cap_frac",
-                                    "interpret"))
+                                    "interpret", "topology"))
 def _sphere_march_t(rays_t, packed, pe, n_sphere, n_refine, t0, margin, lip,
-                    dt_frac, cap_frac, interpret=False):
+                    dt_frac, cap_frac, interpret=False, topology="std"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = rays_t.shape[1]
-    names = ["w0", "b0", "w1", "b1", "w2", "b2", "w3t", "b3"]
+    names = _weight_names(topology)
+    suffix = "_w" if topology == "wide" else ""
     return pl.pallas_call(
         functools.partial(_sphere_march_kernel, pe=pe, n_sphere=n_sphere,
                           n_refine=n_refine, t0=t0, margin=margin, lip=lip,
-                          dt_frac=dt_frac, cap_frac=cap_frac),
+                          dt_frac=dt_frac, cap_frac=cap_frac,
+                          topology=topology),
         # evals/ray = n_sphere + n_refine, encoded for core/mfu.py
-        name=f"nero_smarch_s{n_sphere}_r{n_refine}",
+        # (the _w suffix selects the wide per-eval FLOP count)
+        name=f"nero_smarch_s{n_sphere}_r{n_refine}{suffix}",
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=(n // BLOCK_R,),
         in_specs=[pl.BlockSpec((8, BLOCK_R), lambda i: (0, i),
@@ -245,7 +302,8 @@ def sphere_march_fused(packed, rays_o, rays_d, t_enter, t_exit, *,
                        pe: int = 6, n_sphere: int = 16, n_refine: int = 8,
                        t0: float = 0.012, margin: float = 0.003,
                        lip: float = 0.9, dt_frac: float = 1.0 / 31.0,
-                       cap_frac: float = 0.25, interpret: bool = False):
+                       cap_frac: float = 0.25, interpret: bool = False,
+                       topology: str = "std"):
     """Sphere-traced march of [R] rays. Returns (t_hit [R], found [R] bool).
 
     Same contract as march_fused; ~ (n_sphere+n_refine)/(n_coarse+n_refine)
@@ -265,27 +323,28 @@ def sphere_march_fused(packed, rays_o, rays_d, t_enter, t_exit, *,
     stack = jnp.pad(stack, ((0, 0), (0, n_pad)))
     out = _sphere_march_t(stack, packed, pe, n_sphere, n_refine, t0,
                           float(margin), lip, dt_frac, cap_frac,
-                          interpret=interpret)
+                          interpret=interpret, topology=topology)
     return out[0, :n], out[1, :n] > 0.5
 
 
 def hlo_flops(name: str, out_shapes, in_shapes):
-    """Matmul FLOPs of one march invocation: rays x (field evals)
-    with each eval the same 4-layer MLP as field_kernel. Uniform march
+    """Matmul FLOPs of one march invocation: rays x (field evals); the _w
+    suffix selects the wide 3-matmul per-eval count. Uniform march
     evals = n_coarse + n_refine; sphere march = n_sphere + n_refine."""
     import re as _re
 
-    from nero_tpu.ops.pallas.field_kernel import POINT_FLOPS
-    m = _re.fullmatch(r"nero_s?march_[cs](\d+)_r(\d+)", name)
+    from nero_tpu.ops.pallas.field_kernel import POINT_FLOPS, POINT_FLOPS_WIDE
+    m = _re.fullmatch(r"nero_s?march_[cs](\d+)_r(\d+)(_w)?", name)
     if m is None:
         return None
     evals = int(m.group(1)) + int(m.group(2))
-    return float(out_shapes[0][1]) * evals * POINT_FLOPS   # out (8, N)
+    per_eval = POINT_FLOPS_WIDE if m.group(3) else POINT_FLOPS
+    return float(out_shapes[0][1]) * evals * per_eval   # out (8, N)
 
 
 def march_fused(packed, rays_o, rays_d, t_enter, t_exit, *, pe: int = 6,
                 n_coarse: int = 48, n_refine: int = 8, t0: float = 0.012,
-                interpret: bool = False):
+                interpret: bool = False, topology: str = "std"):
     """Fused march of [R] rays. Returns (t_hit [R], found [R] bool).
 
     ``found`` does NOT account for bounding-sphere validity — callers mask
@@ -305,5 +364,5 @@ def march_fused(packed, rays_o, rays_d, t_enter, t_exit, *, pe: int = 6,
     n_pad = (-n) % BLOCK_R
     stack = jnp.pad(stack, ((0, 0), (0, n_pad)))
     out = _march_t(stack, packed, pe, n_coarse, n_refine, t0,
-                   interpret=interpret)
+                   interpret=interpret, topology=topology)
     return out[0, :n], out[1, :n] > 0.5

@@ -64,6 +64,12 @@ def test_sphere_march_name_flops():
         4096 * 40 * POINT_FLOPS
     assert hlo_flops("something_else", [(8, 4096)], []) is None
 
+    # wide topology (_w suffix): 3 full-K matmuls per eval
+    from nero_tpu.ops.pallas.field_kernel import POINT_FLOPS_WIDE
+    assert POINT_FLOPS_WIDE == 2 * (128 * 128 + 128 * 128 + 128 * 8)
+    assert hlo_flops("nero_smarch_s20_r8_w", [(8, 4096)], []) == \
+        4096 * 28 * POINT_FLOPS_WIDE
+
 
 def test_parser_instruction_name_fallback():
     # no op_name metadata -> kernel identified from the instruction name

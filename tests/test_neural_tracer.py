@@ -194,3 +194,86 @@ def test_miss_semantics(tracer):
     assert not hit[0]
     assert depth[0, 0] == tracer.far
     assert (normal[0] == 0).all()
+
+
+# --------------------------------------------------------------------------
+# wide topology (VERDICT r4 next #2): quality + fused-kernel parity
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def wide_tracer():
+    import os
+    verts, tris = extract_geometry(
+        [-1, -1, -1], [1, 1, 1], 48, 0.0,
+        lambda p: jnp.linalg.norm(p, axis=-1, keepdims=True) - 0.5)
+    old = NeuralTracer.CACHE_DIR
+    NeuralTracer.CACHE_DIR = os.path.join(os.path.dirname(__file__),
+                                          ".tracer_cache")
+    try:
+        return NeuralTracer(verts, tris, distill_steps=300,
+                            distill_samples=120_000, distill_batch=16384,
+                            verbose=False, field_topology="wide")
+    finally:
+        NeuralTracer.CACHE_DIR = old
+
+
+def test_wide_distillation_quality(wide_tracer):
+    # same bar as the std fixture: the 3-matmul wide field must distill the
+    # sphere SDF at least as well as the 4-matmul std field
+    assert wide_tracer.distill_rms < 0.01, wide_tracer.distill_rms
+
+
+def test_wide_trace_agreement_with_exact(wide_tracer):
+    rng = np.random.RandomState(0)
+    n = 2048
+    p = rng.normal(size=(n, 3))
+    p /= np.linalg.norm(p, axis=-1, keepdims=True)
+    p = (p * 0.5).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = (p + d * 1e-5).astype(np.float32)
+
+    _, _, dc, hc = wide_tracer.trace_cpu(o, d)
+    _, _, dg, hg = jax.tree_util.tree_map(
+        np.asarray, wide_tracer.trace(jnp.asarray(o), jnp.asarray(d)))
+    agree = (hg == hc).mean()
+    assert agree > 0.93, agree
+    m = hc & hg & (dc > 0.05)
+    if m.any():
+        assert np.abs(dg[:, 0][m] - dc[m]).mean() < 0.02
+
+
+def test_wide_fused_march_matches_xla_path(wide_tracer):
+    """Interpret-mode wide sphere-march kernel vs the XLA (non-fused) trace
+    on the SAME distilled field: hits must agree and depths must match."""
+    from nero_tpu.geometry.neural_tracer import neural_trace
+    from nero_tpu.ops.pallas.field_kernel import pack_field_params
+
+    rng = np.random.RandomState(1)
+    n = 512
+    p = rng.normal(size=(n, 3))
+    p /= np.linalg.norm(p, axis=-1, keepdims=True)
+    p = (p * 0.5).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = (p + d * 1e-5).astype(np.float32)
+
+    packed = pack_field_params(wide_tracer.field_params, topology="wide")
+    margin = max(0.002, 3.0 * float(wide_tracer.distill_rms))
+    from nero_tpu.ops.pallas.interp import force_interpret
+    with force_interpret():
+        tf, _, hf = neural_trace(
+            wide_tracer.field_params, packed, jnp.asarray(o), jnp.asarray(d),
+            wide_tracer.bound, use_fused=True, march_mode="sphere",
+            n_sphere=20, margin=margin, topology="wide")
+    tx, _, hx = neural_trace(
+        wide_tracer.field_params, packed, jnp.asarray(o), jnp.asarray(d),
+        wide_tracer.bound, use_fused=False, margin=margin, topology="wide")
+    hf, hx = np.asarray(hf), np.asarray(hx)
+    # fused sphere trace vs XLA uniform-32 march: same field, same bracket
+    # contract — near-total agreement (sub-1% disagreement is step-pattern
+    # difference at grazing rays, same as the std-topology sweep)
+    assert (hf == hx).mean() > 0.985, (hf == hx).mean()
+    m = hf & hx
+    assert np.abs(np.asarray(tf)[m] - np.asarray(tx)[m]).mean() < 5e-3

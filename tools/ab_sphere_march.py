@@ -85,6 +85,66 @@ def quality(scene="bowl"):
                           "depth_mae": round(float(depth_mae), 5)}), flush=True)
 
 
+def topology(scene="bowl"):
+    """std vs wide distilled-field topology: quality (near-band RMS +
+    clearing agreement vs the exact BVH, the tests' >=0.98 bar) and the
+    full Stage-II step time on sphere AND bowl. VERDICT r4 next #2."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nero_tpu.geometry.neural_tracer import NeuralTracer, neural_trace
+    from tools.sweep_march_samples import bowl_mesh
+
+    verts, tris = bowl_mesh() if scene == "bowl" else _mirror_mesh()
+    rng = np.random.RandomState(0)
+    n = 8192
+    ti = rng.randint(0, len(tris), n)
+    u, v = rng.rand(n, 1), rng.rand(n, 1)
+    flip = (u + v) > 1
+    u = np.where(flip, 1 - u, u)
+    v = np.where(flip, 1 - v, v)
+    p = (verts[tris[ti, 0]] + u * (verts[tris[ti, 1]] - verts[tris[ti, 0]])
+         + v * (verts[tris[ti, 2]] - verts[tris[ti, 0]]))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = (p + d * 1e-3).astype(np.float32)
+
+    on_tpu = jax.default_backend() == "tpu"
+    for topo in ("std", "wide"):
+        tracer = NeuralTracer(verts, tris, distill_steps=3000, cache=True,
+                              verbose=True, field_topology=topo)
+        margin = max(0.002, 3.0 * float(tracer.distill_rms))
+        _, _, dc, hc = tracer.trace_cpu(o, d)
+        hc = np.asarray(hc, bool)
+        dc = np.asarray(dc).reshape(-1)
+        clear = (~hc) | (dc > 0.05)
+        t, _, hit = neural_trace(
+            tracer.field_params, tracer.packed, jnp.asarray(o), jnp.asarray(d),
+            tracer.bound, tracer.far, n_refine=8, use_fused=on_tpu,
+            march_mode="sphere", n_sphere=20, n_coarse=32, margin=margin,
+            topology=topo)
+        hg = np.asarray(hit, bool)
+        tg = np.asarray(t)
+        agree = (hg == hc)[clear].mean()
+        both = clear & hc & hg & (tg > 0.05)
+        depth_mae = np.abs(tg[both] - dc[both]).mean() if both.any() else float("nan")
+        print(json.dumps({"variant": f"topo_{topo}", "fused": on_tpu,
+                          "rms": round(float(tracer.distill_rms), 5),
+                          "clearing_agreement": round(float(agree), 4),
+                          "depth_mae": round(float(depth_mae), 5)}), flush=True)
+
+    from tools.ceiling_stage2 import run_variant
+    for sc in ("sphere", "bowl"):
+        run_variant(f"{sc}_topo_std", scene=sc,
+                    extra={"tracer_field_topology": "std"},
+                    expect_kernels={"nero_smarch_s20_r8": True,
+                                    "nero_smarch_s20_r8_w": False})
+        run_variant(f"{sc}_topo_wide", scene=sc,
+                    extra={"tracer_field_topology": "wide"},
+                    expect_kernels={"nero_smarch_s20_r8_w": True})
+
+
 def speed():
     from tools.ceiling_stage2 import run_variant
     for scene in ("sphere", "bowl"):
@@ -106,3 +166,5 @@ if __name__ == "__main__":
         quality(sys.argv[2] if len(sys.argv) > 2 else "bowl")
     if which in ("speed", "all"):
         speed()
+    if which == "topology":
+        topology(sys.argv[2] if len(sys.argv) > 2 else "bowl")

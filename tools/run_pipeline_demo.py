@@ -29,6 +29,13 @@ def main():
     parser.add_argument("--tracers2", type=str, default="neural",
                         help="comma list of Stage-II visibility backends to "
                              "ablate (neural,grid,bvh)")
+    # production cadences for reference-scale runs (reference
+    # configs/shape/syn/bell.yaml:30-34: val 5000 / ckpt 1000; material
+    # configs: val 5000 / ckpt 500). Default 0 = demo behavior (val once).
+    parser.add_argument("--val_interval1", type=int, default=0)
+    parser.add_argument("--save_interval1", type=int, default=0)
+    parser.add_argument("--val_interval2", type=int, default=0)
+    parser.add_argument("--save_interval2", type=int, default=0)
     flags = parser.parse_args()
 
     import jax
@@ -45,8 +52,10 @@ def main():
     t0 = time.time()
     cfg1 = {
         "name": "demo_shape", "network": "shape", "database_name": db,
-        "total_step": flags.steps1, "val_interval": flags.steps1,
-        "save_interval": max(flags.steps1 // 2, 1), "train_log_step": 100,
+        "total_step": flags.steps1,
+        "val_interval": flags.val_interval1 or flags.steps1,
+        "save_interval": flags.save_interval1 or max(flags.steps1 // 2, 1),
+        "train_log_step": 100,
         "lr_cfg": {"end_warm": 200, "end_iter": flags.steps1},
         "occ_loss_step": flags.steps1 // 2, "anneal_end": flags.steps1 // 4,
         "freeze_inv_s_step": flags.steps1 // 10,
@@ -113,7 +122,8 @@ def main():
             "name": f"demo_material_{tracer}", "network": "material",
             "database_name": db,
             "mesh": mesh_path, "total_step": flags.steps2, "tracer": tracer,
-            "val_interval": flags.steps2, "save_interval": max(flags.steps2 // 2, 1),
+            "val_interval": flags.val_interval2 or flags.steps2,
+            "save_interval": flags.save_interval2 or max(flags.steps2 // 2, 1),
             "train_log_step": 100,
             "lr_cfg": {"end_warm": 100, "end_iter": flags.steps2},
             "shader_cfg": {"diffuse_sample_num": 128, "specular_sample_num": 64,
