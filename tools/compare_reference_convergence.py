@@ -35,11 +35,11 @@ def save(key, curve, meta):
     print(json.dumps({key: meta}))
 
 
-def run_reference(scene, rays, n_steps):
+def run_reference(scene, rays, n_steps, human_light=False):
     from tools.bench_reference_cpu import (bench_reference, export_scene,
                                            install_reference_stubs,
                                            patch_torch_cpu)
-    export_scene(scene, "sphere", 100, 12)
+    export_scene(scene, "capture" if human_light else "sphere", 100, 12)
     sys.path.insert(0, "/root/reference")
     install_reference_stubs()
     patch_torch_cpu()
@@ -72,6 +72,14 @@ def run_reference(scene, rays, n_steps):
     torch.manual_seed(0)
     cfg = {"database_name": f"syn/{scene}", "train_ray_num": rays,
            "validate_initialization": False, "val_geometry": False}
+    if human_light:
+        # the GlossyReal shader deltas (reference configs/shape/real/
+        # bear.yaml:7-8): camera-collocated human light + sphere_direction
+        # outer light, on the capture scene whose illumination the
+        # human-light head models — settles whether our capture-scene
+        # geometry (sdf MAE 0.0168 vs mirror's 0.0008) is parity or
+        # deficit vs the reference torch implementation (VERDICT r4 #7)
+        cfg["shader_config"] = {"human_light": True, "sphere_direction": True}
     renderer = NeROShapeRenderer(cfg)
     losses = [name2loss[n]({}) for n in
               ["nerf_render", "eikonal", "std", "init_sdf_reg"]]
@@ -95,11 +103,12 @@ def run_reference(scene, rays, n_steps):
         if (step + 1) % 20 == 0:
             print(f"ref step {step + 1}: loss_rgb "
                   f"{sum(curve[-20:]) / 20:.4f}", flush=True)
-    save("reference", curve, {"steps": n_steps, "rays": rays,
-                              "wall_s": round(time.time() - t0, 1)})
+    save("reference_human" if human_light else "reference", curve,
+         {"steps": n_steps, "rays": rays,
+          "wall_s": round(time.time() - t0, 1)})
 
 
-def run_ours(rays, n_steps, platform=None):
+def run_ours(rays, n_steps, platform=None, human_light=False):
     import time
 
     import jax
@@ -115,13 +124,17 @@ def run_ours(rays, n_steps, platform=None):
     from nero_tpu.models.shape import NeROShapeModel
 
     cfg = {"name": "conv_ours", "network": "shape",
-           "database_name": "proc/sphere/100_12", "train_ray_num": rays,
+           "database_name": ("proc/capture/100_12" if human_light
+                             else "proc/sphere/100_12"),
+           "train_ray_num": rays,
            "loss": ["nerf_render", "eikonal", "std", "init_sdf_reg"],
            "key_metric_name": "psnr",
            # head-to-head parity: evaluate the background NeRF on the inner
            # lattice exactly like the reference render equation
            # (renderer.py:567-572); the fast default skips it (~0.04 dB)
            "bg_on_inner": True}
+    if human_light:
+        cfg["shader_config"] = {"human_light": True, "sphere_direction": True}
     model = NeROShapeModel(cfg, training=True)
     opt = optax.adam(1e-3)
     step_fn = model.make_train_step(opt, donate=False)
@@ -138,8 +151,9 @@ def run_ours(rays, n_steps, platform=None):
         if (step + 1) % 20 == 0:
             print(f"ours step {step + 1}: loss_rgb "
                   f"{sum(curve[-20:]) / 20:.4f}", flush=True)
-    save("nero_tpu", curve, {"steps": n_steps, "rays": rays,
-                             "wall_s": round(time.time() - t0, 1)})
+    save("nero_tpu_human" if human_light else "nero_tpu", curve,
+         {"steps": n_steps, "rays": rays,
+          "wall_s": round(time.time() - t0, 1)})
 
 
 # ---------------------------------------------------------------------------
@@ -351,6 +365,9 @@ def main():
                         help="stage-2 diffuse sample dirs (full config: 512; "
                              "reduced so the torch reference finishes on CPU)")
     parser.add_argument("--specular", type=int, default=64)
+    parser.add_argument("--human_light", action="store_true",
+                        help="GlossyReal shader regime: human_light + "
+                             "sphere_direction on the capture scene")
     parser.add_argument("--platform", default=None,
                         help="force a jax platform for --which ours (e.g. cpu);"
                              " default = whatever the session provides (TPU "
@@ -365,9 +382,11 @@ def main():
             run_ours_stage2(flags.rays, flags.steps, flags.diffuse,
                             flags.specular, flags.platform)
     elif flags.which == "ref":
-        run_reference("proc_sphere", flags.rays, flags.steps)
+        run_reference("proc_capture" if flags.human_light else "proc_sphere",
+                      flags.rays, flags.steps, human_light=flags.human_light)
     else:
-        run_ours(flags.rays, flags.steps, flags.platform)
+        run_ours(flags.rays, flags.steps, flags.platform,
+                 human_light=flags.human_light)
 
 
 if __name__ == "__main__":
