@@ -86,6 +86,7 @@ _KERNEL_MODULES = (
     "nero_tpu.ops.pallas.march_kernel",
     "nero_tpu.ops.pallas.predictor_kernel",
     "nero_tpu.ops.pallas.shader_kernel",
+    "nero_tpu.ops.pallas.light_kernel",
 )
 
 

@@ -77,6 +77,18 @@ class MCShadingConfig(NamedTuple):
     # compaction is train-only — validation always shades the full lattice).
     # 0.0 = off (outer MLP on every dir).
     outer_compact_frac: float = 0.0
+    # run the light predictors (inner + outer heads + their IDE/PE
+    # encodings) through the fused VMEM Pallas kernel
+    # (ops/pallas/light_kernel.py, fwd AND bwd in-kernel) instead of XLA —
+    # the Stage-II analogue of the Stage-I whole-shader kernel, cutting the
+    # ~1.6 GB/pass of encoding + activation HBM traffic the round-4 ceiling
+    # analysis identified. None = auto, resolved at apply time by
+    # `_fused_lights_active` (TPU v4+; off when outer compaction is on —
+    # the compacted gather path stays XLA; with inner compaction on, the
+    # kernel runs outer-only). NOTE: like the shader kernel, head weights
+    # AND their cotangents are bf16 in-kernel — gated by the training-
+    # quality A/B (tools/quality_lights_ab.py).
+    fused_lights: bool | None = None
 
     @property
     def hidden_act_dtype(self):
@@ -89,6 +101,40 @@ class MCShadingConfig(NamedTuple):
 def mc_config_from_dict(cfg: dict) -> MCShadingConfig:
     fields = {k: v for k, v in cfg.items() if k in MCShadingConfig._fields}
     return MCShadingConfig(**fields)
+
+
+_warned_fused_lights_downgrade = False
+
+
+def _fused_lights_active(cfg: MCShadingConfig) -> bool:
+    """Resolve cfg.fused_lights at apply time (mirrors
+    fields/app_shading.py::_fused_shader_active). Auto = on iff TPU v4+
+    (or force_interpret) and outer compaction is off."""
+    import jax
+
+    from nero_tpu.fields.app_shading import _tpu_vmem_ok
+    from nero_tpu.ops.pallas.interp import interpret_forced
+
+    try:
+        on_tpu = ((jax.default_backend() == "tpu" and _tpu_vmem_ok())
+                  or interpret_forced())
+    except Exception:
+        on_tpu = False
+    supported = cfg.outer_compact_frac == 0.0 and cfg.ide_deg <= 5
+    if cfg.fused_lights is None:
+        return on_tpu and supported
+    if cfg.fused_lights and not (on_tpu and supported):
+        global _warned_fused_lights_downgrade
+        if not _warned_fused_lights_downgrade:
+            _warned_fused_lights_downgrade = True
+            import warnings
+            warnings.warn(
+                "fused_lights=True was requested but the light kernel is "
+                f"unsupported here (backend={jax.default_backend()}, "
+                f"outer_compact_frac={cfg.outer_compact_frac}); falling "
+                "back to the XLA light path.", RuntimeWarning, stacklevel=3)
+        return False
+    return bool(cfg.fused_lights)
 
 
 # ---------------------------------------------------------------------------
@@ -328,11 +374,27 @@ def get_lights(params, cfg: MCShadingConfig, trace_fn, points, directions, human
     # NeuS-convention flip (reference renderer.py:719-729)
     normals = -normals
 
+    # fused VMEM light kernel (ops/pallas/light_kernel.py): both heads when
+    # nothing is compacted (the concave regime), outer-only when inner
+    # compaction is active; final exp / hit-select / human mixing stay here
+    inner_raw = None
+    if cfg.outer_compact_frac == 0.0 and _fused_lights_active(cfg):
+        from nero_tpu.ops.mlp import exp_activation
+        from nero_tpu.ops.pallas.light_kernel import lights_fused_raw
+
+        mode = "outer" if cfg.inner_compact_frac > 0.0 else "both"
+        inner_z, outer_z = lights_fused_raw(params, cfg, points, directions,
+                                            inters, normals, mode=mode)
+        outer = exp_activation(outer_z, cfg.light_exp_max)
+        if mode == "both":
+            inner_raw = exp_activation(inner_z, cfg.inner_light_exp_max)
+    elif cfg.outer_compact_frac == 0.0:
+        outer = predict_outer_lights(params, cfg, points, directions)
+
     if cfg.outer_compact_frac > 0.0:
         miss_light, human_part = _compacted_miss_lights(
             params, cfg, points, directions, human_poses, hit)
     else:
-        outer = predict_outer_lights(params, cfg, points, directions)
         if cfg.human_lights:
             human_lights, human_weights = get_human_light(params, points,
                                                           directions, human_poses)
@@ -346,7 +408,8 @@ def get_lights(params, cfg: MCShadingConfig, trace_fn, points, directions, human
         lights = _compacted_inner_lights(params, cfg, inters, directions,
                                          normals, hit, miss_light)
     else:
-        inner = get_inner_lights(params, cfg, inters, -directions, normals)
+        inner = (inner_raw if inner_raw is not None else
+                 get_inner_lights(params, cfg, inters, -directions, normals))
         lights = jnp.where(hit[..., None], inner, miss_light)
     near_mask = (depth > eps).astype(lights.dtype)
     lights = lights * near_mask  # a surface immediately in front emits nothing

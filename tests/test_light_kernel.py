@@ -1,0 +1,164 @@
+"""Fused Stage-II light kernel vs the XLA light path (interpret mode).
+
+Same parity bar as the shader kernel (test_shader_kernel.py): bf16 matmul
+operands incl. bf16-stored weights, so the error vs the f32 reference must
+stay within a small factor of the bf16-XLA path's own error, and every
+gradient leaf must point the same way.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nero_tpu.fields.mc_shading import (MCShadingConfig, get_inner_lights,
+                                        init_mc_shading,
+                                        predict_outer_lights)
+from nero_tpu.ops.mlp import exp_activation, hidden_dtype
+from nero_tpu.ops.pallas.light_kernel import lights_fused_raw
+
+
+def _setup(sphere_direction=False, P=2, S=96):
+    cfg = MCShadingConfig(
+        human_lights=False,
+        outer_light_version="sphere_direction" if sphere_direction
+        else "direction")
+    params = init_mc_shading(jax.random.PRNGKey(0), cfg)
+    k = jax.random.PRNGKey(1)
+    pts = jax.random.uniform(jax.random.fold_in(k, 0), (P, S, 3),
+                             minval=-0.6, maxval=0.6)
+    dirs = jax.random.normal(jax.random.fold_in(k, 1), (P, S, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    inters = jax.random.uniform(jax.random.fold_in(k, 2), (P, S, 3),
+                                minval=-0.6, maxval=0.6)
+    normals = jax.random.normal(jax.random.fold_in(k, 3), (P, S, 3))
+    return cfg, params, pts, dirs, inters, normals
+
+
+def _xla_lights(params, cfg, pts, dirs, inters, normals):
+    outer = predict_outer_lights(params, cfg, pts, dirs)
+    inner = get_inner_lights(params, cfg, inters, -dirs, normals)
+    return inner, outer
+
+
+@pytest.mark.parametrize("sphere", [False, True])
+def test_forward_parity(sphere):
+    cfg, params, pts, dirs, inters, normals = _setup(sphere)
+    inner_ref, outer_ref = _xla_lights(params, cfg, pts, dirs, inters, normals)
+    inner_z, outer_z = lights_fused_raw(params, cfg, pts, dirs, inters,
+                                        normals, mode="both", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(exp_activation(inner_z, cfg.inner_light_exp_max)),
+        np.asarray(inner_ref), atol=3e-3)
+    np.testing.assert_allclose(
+        np.asarray(exp_activation(outer_z, cfg.light_exp_max)),
+        np.asarray(outer_ref), atol=3e-3)
+
+
+def test_outer_only_mode():
+    cfg, params, pts, dirs, inters, normals = _setup(False)
+    outer_ref = predict_outer_lights(params, cfg, pts, dirs)
+    inner_z, outer_z = lights_fused_raw(params, cfg, pts, dirs, inters,
+                                        normals, mode="outer", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(exp_activation(outer_z, cfg.light_exp_max)),
+        np.asarray(outer_ref), atol=3e-3)
+    assert float(jnp.abs(inner_z).max()) == 0.0
+
+
+def test_grad_parity_no_worse_than_bf16():
+    cfg, params, pts, dirs, inters, normals = _setup(False)
+    cot_i = jax.random.normal(jax.random.PRNGKey(7), pts.shape)
+    cot_o = jax.random.normal(jax.random.PRNGKey(8), pts.shape)
+    # only the light heads are differentiated (the kernel's param surface)
+    heads = {k: params[k] for k in ("inner_light", "outer_light")}
+
+    def loss_xla(hd, d, dtype=None):
+        p = dict(params, **hd)
+
+        def body():
+            inner, outer = _xla_lights(p, cfg, pts, d, inters, normals)
+            return jnp.sum(inner * cot_i) + jnp.sum(outer * cot_o)
+        if dtype is None:
+            return body()
+        with hidden_dtype(dtype):
+            return body()
+
+    def loss_fused(hd, d):
+        p = dict(params, **hd)
+        inner_z, outer_z = lights_fused_raw(p, cfg, pts, d, inters, normals,
+                                            mode="both", interpret=True)
+        return (jnp.sum(exp_activation(inner_z, cfg.inner_light_exp_max) * cot_i)
+                + jnp.sum(exp_activation(outer_z, cfg.light_exp_max) * cot_o))
+
+    g32 = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(heads, dirs)
+    gbf = jax.jit(jax.grad(
+        lambda hd, d: loss_xla(hd, d, jnp.bfloat16), argnums=(0, 1)))(heads, dirs)
+    gk = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(heads, dirs)
+
+    def worst_mean_rel(ga, gb):
+        worst = 0.0
+        for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                          jax.tree_util.tree_leaves(gb)):
+            la, lb = np.asarray(la), np.asarray(lb)
+            sc = np.abs(la).max() + 1e-8
+            worst = max(worst, float((np.abs(la - lb) / sc).mean()))
+        return worst
+
+    noise_bf16 = worst_mean_rel(g32, gbf)
+    noise_ker = worst_mean_rel(g32, gk)
+    assert noise_ker < noise_bf16 * 4.0 + 1e-3, (noise_ker, noise_bf16)
+
+    # parameter leaves: same directional bar as the shader kernel. The
+    # d-dirs (geo) leaf is allowed 0.98: its cotangent threads the bf16-
+    # STORED w1 transpose (XLA bf16_hidden keeps f32 weights, measures
+    # 0.9983 here; the kernel measures ~0.987), and it is a secondary path
+    # — roughness also gets direct BRDF-weight gradients; the end-to-end
+    # arbiter is the training-quality A/B (tools/quality_lights_ab.py).
+    for la, lb in zip(jax.tree_util.tree_leaves(g32[0]),
+                      jax.tree_util.tree_leaves(gk[0])):
+        la, lb = np.asarray(la).ravel(), np.asarray(lb).ravel()
+        cos = la @ lb / (np.linalg.norm(la) * np.linalg.norm(lb) + 1e-12)
+        assert cos > 0.99, cos
+    dd32 = np.asarray(g32[1]).ravel()
+    ddk = np.asarray(gk[1]).ravel()
+    cos = dd32 @ ddk / (np.linalg.norm(dd32) * np.linalg.norm(ddk) + 1e-12)
+    assert cos > 0.98, cos
+
+
+def test_padding_and_odd_shapes():
+    cfg, params, pts, dirs, inters, normals = _setup(False, P=3, S=7)
+    inner_ref, outer_ref = _xla_lights(params, cfg, pts, dirs, inters, normals)
+    inner_z, outer_z = lights_fused_raw(params, cfg, pts, dirs, inters,
+                                        normals, mode="both", interpret=True)
+    assert inner_z.shape == inner_ref.shape
+    np.testing.assert_allclose(
+        np.asarray(exp_activation(inner_z, cfg.inner_light_exp_max)),
+        np.asarray(inner_ref), atol=3e-3)
+
+
+def test_get_lights_engages_kernel_under_force_interpret():
+    """get_lights routes through the fused kernel when forced (the dryrun /
+    CPU-mesh composition path) and matches the XLA path."""
+    from nero_tpu.fields.mc_shading import get_lights
+    from nero_tpu.ops.pallas.interp import force_interpret
+
+    cfg, params, pts, dirs, inters, normals = _setup(False)
+
+    def trace_fn(o, d):
+        # deterministic fake tracer: hit iff dir z > 0
+        hit = d[:, 2] > 0
+        return (o + 0.1 * d, -d, jnp.full((o.shape[0], 1), 0.5),
+                hit)
+
+    ref = get_lights(params, cfg, trace_fn, pts, dirs, None)
+    with force_interpret():
+        fused = get_lights(params, cfg, trace_fn, pts, dirs, None)
+    np.testing.assert_allclose(np.asarray(fused[0]), np.asarray(ref[0]),
+                               atol=3e-3)
+
+
+def test_mfu_counter_name_roundtrip():
+    from nero_tpu.ops.pallas import light_kernel as lk
+    assert lk.hlo_flops("nero_lights_fwd_f1000", [(512, 8)], []) == 512000.0
+    assert lk.hlo_flops("nero_lights_bwd_f3000", [(512, 16)], []) == 512 * 3000.0
+    assert lk.hlo_flops("some_other_kernel", [(512, 8)], []) is None
