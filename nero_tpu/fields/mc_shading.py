@@ -80,14 +80,18 @@ class MCShadingConfig(NamedTuple):
     # run the light predictors (inner + outer heads + their IDE/PE
     # encodings) through the fused VMEM Pallas kernel
     # (ops/pallas/light_kernel.py, fwd AND bwd in-kernel) instead of XLA —
-    # the Stage-II analogue of the Stage-I whole-shader kernel, cutting the
-    # ~1.6 GB/pass of encoding + activation HBM traffic the round-4 ceiling
-    # analysis identified. None = auto, resolved at apply time by
-    # `_fused_lights_active` (TPU v4+; off when outer compaction is on —
-    # the compacted gather path stays XLA; with inner compaction on, the
-    # kernel runs outer-only). NOTE: like the shader kernel, head weights
-    # AND their cotangents are bf16 in-kernel — gated by the training-
-    # quality A/B (tools/quality_lights_ab.py).
+    # the Stage-II analogue of the Stage-I whole-shader kernel. MEASURED AND
+    # REJECTED as a default (tools/ab_lights.py, data/r5_tpu/ab_lights.log,
+    # v5e): bowl 52.2 -> 88.0 ms, sphere 44.6 -> 76.6 ms. The kernel does
+    # cut counted bytes (bowl 33.7 -> 23.6 GB) but the light MLPs' HBM
+    # traffic was already hidden behind the compute-bound march kernel
+    # (57% of the step), so the saved bytes buy nothing, while the
+    # vjp-in-kernel backward recompute triples the light FLOPs at ~25 TF/s
+    # effective. None = off (resolved by `_fused_lights_active`); True
+    # opts in on TPU v4+ / force_interpret where outer compaction is off
+    # (with inner compaction on, the kernel runs outer-only). NOTE: like
+    # the shader kernel, head weights AND their cotangents are bf16
+    # in-kernel — quality-gated by tools/quality_lights_ab.py.
     fused_lights: bool | None = None
 
     @property
@@ -108,8 +112,10 @@ _warned_fused_lights_downgrade = False
 
 def _fused_lights_active(cfg: MCShadingConfig) -> bool:
     """Resolve cfg.fused_lights at apply time (mirrors
-    fields/app_shading.py::_fused_shader_active). Auto = on iff TPU v4+
-    (or force_interpret) and outer compaction is off."""
+    fields/app_shading.py::_fused_shader_active). Auto = OFF — the kernel
+    measured 41-42% slower than the XLA light path in both compaction
+    regimes (see the fused_lights field comment); True opts in where
+    supported (TPU v4+ or force_interpret, outer compaction off)."""
     import jax
 
     from nero_tpu.fields.app_shading import _tpu_vmem_ok
@@ -122,7 +128,7 @@ def _fused_lights_active(cfg: MCShadingConfig) -> bool:
         on_tpu = False
     supported = cfg.outer_compact_frac == 0.0 and cfg.ide_deg <= 5
     if cfg.fused_lights is None:
-        return on_tpu and supported
+        return False
     if cfg.fused_lights and not (on_tpu and supported):
         global _warned_fused_lights_downgrade
         if not _warned_fused_lights_downgrade:

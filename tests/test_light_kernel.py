@@ -143,6 +143,9 @@ def test_get_lights_engages_kernel_under_force_interpret():
     from nero_tpu.ops.pallas.interp import force_interpret
 
     cfg, params, pts, dirs, inters, normals = _setup(False)
+    # auto is OFF (measured-and-rejected default); the routing under test is
+    # the explicit opt-in, which downgrades to XLA outside force_interpret
+    cfg = cfg._replace(fused_lights=True)
 
     def trace_fn(o, d):
         # deterministic fake tracer: hit iff dir z > 0
