@@ -175,12 +175,12 @@ def distill_field(vertices, triangles, bvh_np, *, width=128, depth=4, pe=6,
 
 @partial(jax.jit, static_argnames=("n_coarse", "n_refine", "use_fused",
                                    "march_mode", "n_sphere", "margin",
-                                   "topology"))
+                                   "topology", "refine"))
 def neural_trace(params, packed, rays_o, rays_d, bound: float, far=10.0,
                  n_coarse: int = 32, n_refine: int = 8, t0: float = 0.012,
                  use_fused: bool = False, march_mode: str = "uniform",
                  n_sphere: int = 16, margin: float = 0.003,
-                 topology: str = "std"):
+                 topology: str = "std", refine: str = "bisect"):
     """March the field, find the first +->- sign change, bisect, grad normal.
 
     Returns (t [R], normal [R,3] inward (-grad), hit [R]). With use_fused the
@@ -207,7 +207,8 @@ def neural_trace(params, packed, rays_o, rays_d, bound: float, far=10.0,
             t_mid, found = sphere_march_fused(
                 packed, rays_o, rays_d, t_enter, t_exit, n_sphere=n_sphere,
                 n_refine=n_refine, t0=t0, margin=margin,
-                dt_frac=1.0 / (n_coarse - 1), topology=topology)
+                dt_frac=1.0 / (n_coarse - 1), topology=topology,
+                refine=refine)
         else:
             from nero_tpu.ops.pallas.march_kernel import march_fused
             t_mid, found = march_fused(packed, rays_o, rays_d, t_enter,
@@ -279,13 +280,17 @@ class NeuralTracer:
                  use_fused: bool | None = None, cache: bool = True,
                  distill_samples: int = 1_500_000, distill_batch: int = 65536,
                  march_mode: str = "sphere", n_sphere: int = 20,
-                 field_topology: str = "std"):
+                 field_topology: str = "std", refine_mode: str = "bisect"):
         self.far = far
         self.n_coarse = n_coarse
         self.n_refine = n_refine
         self.march_mode = march_mode
         self.n_sphere = n_sphere
         self.field_topology = field_topology
+        # refine_mode applies to the fused sphere march only (like
+        # march_mode, the non-fused CPU path keeps the uniform+bisect
+        # reference behavior)
+        self.refine_mode = refine_mode
         self._bvh_tracer = RayTracer(vertices, triangles, far=far)
         self.bound = float(np.linalg.norm(vertices, axis=-1).max() * 1.05 + 0.02)
         cached = self._load_cache(vertices, triangles, width, depth, pe,
@@ -367,6 +372,7 @@ class NeuralTracer:
         n_coarse, n_refine, use_fused = self.n_coarse, self.n_refine, self.use_fused
         march_mode, n_sphere = self.march_mode, self.n_sphere
         topology = self.field_topology
+        refine = self.refine_mode
         # sphere-trace safety margin against field error: 3x the measured
         # near-band distill RMS (the field must not claim "far" when near)
         margin = max(0.002, 3.0 * float(self.distill_rms))
@@ -377,7 +383,7 @@ class NeuralTracer:
                                           use_fused=use_fused,
                                           march_mode=march_mode,
                                           n_sphere=n_sphere, margin=margin,
-                                          topology=topology)
+                                          topology=topology, refine=refine)
             inters = rays_o + rays_d * t[:, None]
             return inters, normal, t[:, None], hit
         return fn

@@ -66,6 +66,14 @@ DEFAULT_MATERIAL_CFG = {
     # always marches uniformly.
     "tracer_march_mode": "sphere",
     "tracer_n_sphere": 20,
+    # bracket refinement after the march: 'bisect' (n_refine halvings) or
+    # 'illinois' (bracketed regula falsi — superlinear on the smooth
+    # distilled MLP, so 3 evals reach the field-error depth floor that
+    # bisection needs 8 for; ops/pallas/march_kernel.py::_illinois_refine).
+    # Fused sphere march only; quality-gated by tools/ab_sphere_march.py
+    # refine (clearing agreement is march-determined and unaffected).
+    "tracer_refine_mode": "bisect",
+    "tracer_n_refine": 8,
     # distilled-field topology: 'std' (PE6 -> 4x128 MLP) or 'wide' (finer
     # dual-chain PE folded into a K=123 first layer, one hidden layer fewer
     # -> 3 full-K matmuls/eval instead of 4; geometry/neural_tracer.py).
@@ -117,6 +125,8 @@ class NeROMaterialModel:
                 n_coarse=self.cfg["tracer_n_coarse"],
                 march_mode=self.cfg["tracer_march_mode"],
                 n_sphere=self.cfg["tracer_n_sphere"],
+                n_refine=self.cfg["tracer_n_refine"],
+                refine_mode=self.cfg["tracer_refine_mode"],
                 field_topology=self.cfg["tracer_field_topology"],
                 seed=self.cfg["random_seed"])
             threshold = self.cfg["tracer_rms_fallback"]

@@ -198,9 +198,48 @@ def _march_t(rays_t, packed, pe: int, n_coarse: int, n_refine: int,
     )(rays_t, *[packed[k] for k in names])
 
 
+def _illinois_refine(field, t_lo, t_hi, f_lo, f_hi, n_refine):
+    """Bracketed regula-falsi (Illinois variant) root refinement.
+
+    The bracket's accuracy floor is the distilled field's error (~2x its
+    near-band RMS), NOT bracket resolution — so the job of refinement is
+    to reach that floor in as few field evals as possible. On the smooth
+    128x4 MLP field the secant point converges superlinearly where
+    bisection halves: 2-3 Illinois evals land where 8 bisections do
+    (measured: tools/ab_sphere_march.py refine). The Illinois rule (halve
+    the retained endpoint's f whenever the other endpoint moves) prevents
+    the one-sided stagnation of naive false position; clamping the secant
+    point into the bracket keeps it correct for non-found rays whose
+    degenerate bracket is [t_enter, t_enter]."""
+    def body(_, carry):
+        lo, hi, flo, fhi = carry
+        denom = flo - fhi
+        mid = jnp.where(jnp.abs(denom) > 1e-12,
+                        (flo * hi - fhi * lo) / jnp.where(denom == 0.0, 1.0,
+                                                          denom),
+                        0.5 * (lo + hi))
+        mid = jnp.clip(mid, lo, hi)
+        v = field(mid)
+        pos = v > 0.0
+        return (jnp.where(pos, mid, lo), jnp.where(pos, hi, mid),
+                jnp.where(pos, v, 0.5 * flo), jnp.where(pos, 0.5 * fhi, v))
+
+    t_lo, t_hi, f_lo, f_hi = jax.lax.fori_loop(
+        0, n_refine, body, (t_lo, t_hi, f_lo, f_hi))
+    # weight the endpoint estimate by the endpoint f's (one last free
+    # secant step — no extra field eval)
+    denom = f_lo - f_hi
+    t = jnp.where(jnp.abs(denom) > 1e-12,
+                  (f_lo * t_hi - f_hi * t_lo) / jnp.where(denom == 0.0, 1.0,
+                                                          denom),
+                  0.5 * (t_lo + t_hi))
+    t = jnp.clip(t, t_lo, t_hi)
+    return t
+
+
 def _sphere_march_kernel(rays_ref, *refs, pe, n_sphere, n_refine, t0,
-                         margin, lip, dt_frac, cap_frac, topology):
-    """Fixed-iteration sphere trace of the distilled SDF + bisection.
+                         margin, lip, dt_frac, cap_frac, topology, refine):
+    """Fixed-iteration sphere trace of the distilled SDF + bracketed refine.
 
     The uniform coarse march (_march_kernel) pays n_coarse field evals per
     ray regardless of where the surface is. The distilled field IS an
@@ -241,52 +280,63 @@ def _sphere_march_kernel(rays_ref, *refs, pe, n_sphere, n_refine, t0,
     t = jnp.minimum(t_enter + step_of(v0), t_exit)
 
     def body(i, carry):
-        t_prev, t, found, t_lo, t_hi = carry
+        t_prev, v_prev, t, found, t_lo, t_hi, f_lo, f_hi = carry
         v = field(t)
         cross = (v <= 0.0) & (found < 0.5)
         t_lo = jnp.where(cross, t_prev, t_lo)
         t_hi = jnp.where(cross, t, t_hi)
+        f_lo = jnp.where(cross, v_prev, f_lo)
+        f_hi = jnp.where(cross, v, f_hi)
         found = jnp.maximum(found, cross.astype(jnp.float32))
         t_next = jnp.minimum(t + step_of(v), t_exit)
         frozen = found > 0.5
-        return (jnp.where(frozen, t_prev, t),
-                jnp.where(frozen, t, t_next), found, t_lo, t_hi)
+        return (jnp.where(frozen, t_prev, t), jnp.where(frozen, v_prev, v),
+                jnp.where(frozen, t, t_next), found, t_lo, t_hi, f_lo, f_hi)
 
-    t_prev, t, found, t_lo, t_hi = jax.lax.fori_loop(
-        1, n_sphere, body, (t_enter, t, start_inside, t_enter, t_enter))
+    _, _, _, found, t_lo, t_hi, f_lo, f_hi = jax.lax.fori_loop(
+        1, n_sphere, body,
+        (t_enter, v0, t, start_inside, t_enter, t_enter, v0, v0))
 
-    def bisect_body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        v = field(mid)
-        return jnp.where(v > 0.0, mid, lo), jnp.where(v > 0.0, hi, mid)
+    if refine == "illinois":
+        t_mid = _illinois_refine(field, t_lo, t_hi, f_lo, f_hi, n_refine)
+    else:
+        def bisect_body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            v = field(mid)
+            return jnp.where(v > 0.0, mid, lo), jnp.where(v > 0.0, hi, mid)
 
-    t_lo, t_hi = jax.lax.fori_loop(0, n_refine, bisect_body, (t_lo, t_hi))
+        t_lo, t_hi = jax.lax.fori_loop(0, n_refine, bisect_body,
+                                       (t_lo, t_hi))
+        t_mid = 0.5 * (t_lo + t_hi)
 
     zero = jnp.zeros((6, r.shape[1]), jnp.float32)
-    out_ref[...] = jnp.concatenate([0.5 * (t_lo + t_hi), found, zero], axis=0)
+    out_ref[...] = jnp.concatenate([t_mid, found, zero], axis=0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("pe", "n_sphere", "n_refine", "t0",
                                     "margin", "lip", "dt_frac", "cap_frac",
-                                    "interpret", "topology"))
+                                    "interpret", "topology", "refine"))
 def _sphere_march_t(rays_t, packed, pe, n_sphere, n_refine, t0, margin, lip,
-                    dt_frac, cap_frac, interpret=False, topology="std"):
+                    dt_frac, cap_frac, interpret=False, topology="std",
+                    refine="bisect"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = rays_t.shape[1]
     names = _weight_names(topology)
     suffix = "_w" if topology == "wide" else ""
+    rtag = "i" if refine == "illinois" else ""
     return pl.pallas_call(
         functools.partial(_sphere_march_kernel, pe=pe, n_sphere=n_sphere,
                           n_refine=n_refine, t0=t0, margin=margin, lip=lip,
                           dt_frac=dt_frac, cap_frac=cap_frac,
-                          topology=topology),
+                          topology=topology, refine=refine),
         # evals/ray = n_sphere + n_refine, encoded for core/mfu.py
-        # (the _w suffix selects the wide per-eval FLOP count)
-        name=f"nero_smarch_s{n_sphere}_r{n_refine}{suffix}",
+        # (an `i` tag marks Illinois refinement — same 1 eval/iteration —
+        # and the _w suffix selects the wide per-eval FLOP count)
+        name=f"nero_smarch_s{n_sphere}_r{n_refine}{rtag}{suffix}",
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=(n // BLOCK_R,),
         in_specs=[pl.BlockSpec((8, BLOCK_R), lambda i: (0, i),
@@ -303,12 +353,15 @@ def sphere_march_fused(packed, rays_o, rays_d, t_enter, t_exit, *,
                        t0: float = 0.012, margin: float = 0.003,
                        lip: float = 0.9, dt_frac: float = 1.0 / 31.0,
                        cap_frac: float = 0.25, interpret: bool = False,
-                       topology: str = "std"):
+                       topology: str = "std", refine: str = "bisect"):
     """Sphere-traced march of [R] rays. Returns (t_hit [R], found [R] bool).
 
     Same contract as march_fused; ~ (n_sphere+n_refine)/(n_coarse+n_refine)
     of its FLOPs. dt_frac defaults to the uniform-32 march's step so the
-    thin-feature floor is unchanged."""
+    thin-feature floor is unchanged. refine='illinois' replaces bisection
+    with bracketed regula falsi (see _illinois_refine) — the production
+    default runs it at n_refine=3 for 5 fewer field evals per ray at the
+    same depth-error floor."""
     from nero_tpu.ops.pallas.interp import resolve
     interpret = resolve(interpret)
     packed = jax.tree_util.tree_map(jax.lax.stop_gradient, packed)
@@ -323,18 +376,20 @@ def sphere_march_fused(packed, rays_o, rays_d, t_enter, t_exit, *,
     stack = jnp.pad(stack, ((0, 0), (0, n_pad)))
     out = _sphere_march_t(stack, packed, pe, n_sphere, n_refine, t0,
                           float(margin), lip, dt_frac, cap_frac,
-                          interpret=interpret, topology=topology)
+                          interpret=interpret, topology=topology,
+                          refine=refine)
     return out[0, :n], out[1, :n] > 0.5
 
 
 def hlo_flops(name: str, out_shapes, in_shapes):
     """Matmul FLOPs of one march invocation: rays x (field evals); the _w
-    suffix selects the wide 3-matmul per-eval count. Uniform march
+    suffix selects the wide 3-matmul per-eval count, the `i` refine tag
+    (Illinois) costs the same 1 eval/iteration as bisection. Uniform march
     evals = n_coarse + n_refine; sphere march = n_sphere + n_refine."""
     import re as _re
 
     from nero_tpu.ops.pallas.field_kernel import POINT_FLOPS, POINT_FLOPS_WIDE
-    m = _re.fullmatch(r"nero_s?march_[cs](\d+)_r(\d+)(_w)?", name)
+    m = _re.fullmatch(r"nero_s?march_[cs](\d+)_r(\d+)i?(_w)?", name)
     if m is None:
         return None
     evals = int(m.group(1)) + int(m.group(2))

@@ -70,6 +70,12 @@ def test_sphere_march_name_flops():
     assert hlo_flops("nero_smarch_s20_r8_w", [(8, 4096)], []) == \
         4096 * 28 * POINT_FLOPS_WIDE
 
+    # Illinois refine tag (`i`): same 1 field eval per refine iteration
+    assert hlo_flops("nero_smarch_s20_r3i", [(8, 4096)], []) == \
+        4096 * 23 * POINT_FLOPS
+    assert hlo_flops("nero_smarch_s20_r3i_w", [(8, 4096)], []) == \
+        4096 * 23 * POINT_FLOPS_WIDE
+
 
 def test_parser_instruction_name_fallback():
     # no op_name metadata -> kernel identified from the instruction name

@@ -168,3 +168,16 @@ def test_sphere_march_matches_uniform_march():
     both = h_u & h_s
     terr = np.abs(np.asarray(t_u)[both] - np.asarray(t_s)[both])
     assert np.median(terr) < 2e-3, float(np.median(terr))
+
+    # Illinois refinement: hits are march-determined (identical to the
+    # bisect arm), and 3 regula-falsi evals land within the bisect-8
+    # depth band on the smooth distilled field
+    t_i, h_i = sphere_march_fused(packed, o, d, t_enter, t_exit, n_sphere=16,
+                                  n_refine=3, refine="illinois",
+                                  dt_frac=1.0 / 31.0, margin=0.004,
+                                  interpret=True)
+    h_i = np.asarray(h_i)
+    assert (h_i == h_s).all(), "refine mode must not change hit decisions"
+    both_i = h_u & h_i
+    terr_i = np.abs(np.asarray(t_u)[both_i] - np.asarray(t_i)[both_i])
+    assert np.median(terr_i) < 2e-3, float(np.median(terr_i))

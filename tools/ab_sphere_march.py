@@ -145,6 +145,76 @@ def topology(scene="bowl"):
                     expect_kernels={"nero_smarch_s20_r8_w": True})
 
 
+def refine(scene="bowl"):
+    """Bisect-8 vs Illinois-{3,2} bracket refinement after the s20 sphere
+    march: quality (clearing agreement — march-determined, should be
+    identical — plus depth MAE vs the exact BVH, whose floor is the
+    field error ~2x distill RMS) on the bowl AND mirror meshes, then the
+    full Stage-II step time on both scenes. VERDICT r4 next #2 follow-on:
+    5 fewer field evals/ray if depth holds the floor."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nero_tpu.geometry.neural_tracer import NeuralTracer, neural_trace
+    from tools.sweep_march_samples import bowl_mesh
+
+    on_tpu = jax.default_backend() == "tpu"
+    for mesh_name in ("bowl", "mirror"):
+        verts, tris = bowl_mesh() if mesh_name == "bowl" else _mirror_mesh()
+        tracer = NeuralTracer(verts, tris, distill_steps=3000, cache=True,
+                              verbose=True)
+        margin = max(0.002, 3.0 * float(tracer.distill_rms))
+        rng = np.random.RandomState(0)
+        n = 8192
+        ti = rng.randint(0, len(tris), n)
+        u, v = rng.rand(n, 1), rng.rand(n, 1)
+        flip = (u + v) > 1
+        u = np.where(flip, 1 - u, u)
+        v = np.where(flip, 1 - v, v)
+        p = (verts[tris[ti, 0]] + u * (verts[tris[ti, 1]] - verts[tris[ti, 0]])
+             + v * (verts[tris[ti, 2]] - verts[tris[ti, 0]]))
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o = (p + d * 1e-3).astype(np.float32)
+        _, _, dc, hc = tracer.trace_cpu(o, d)
+        hc = np.asarray(hc, bool)
+        dc = np.asarray(dc).reshape(-1)
+        clear = (~hc) | (dc > 0.05)
+        for name, kw in (("bisect8", dict(refine="bisect", n_refine=8)),
+                         ("illinois3", dict(refine="illinois", n_refine=3)),
+                         ("illinois2", dict(refine="illinois", n_refine=2))):
+            t, _, hit = neural_trace(
+                tracer.field_params, tracer.packed, jnp.asarray(o),
+                jnp.asarray(d), tracer.bound, tracer.far, use_fused=on_tpu,
+                march_mode="sphere", n_sphere=20, n_coarse=32, margin=margin,
+                **kw)
+            hg = np.asarray(hit, bool)
+            tg = np.asarray(t)
+            agree = (hg == hc)[clear].mean()
+            both = clear & hc & hg & (tg > 0.05)
+            depth_mae = np.abs(tg[both] - dc[both]).mean() if both.any() \
+                else float("nan")
+            print(json.dumps({"variant": f"{mesh_name}_refine_{name}",
+                              "fused": on_tpu,
+                              "clearing_agreement": round(float(agree), 4),
+                              "depth_mae": round(float(depth_mae), 5)}),
+                  flush=True)
+
+    from tools.ceiling_stage2 import run_variant
+    for sc in ("sphere", "bowl"):
+        run_variant(f"{sc}_refine_bisect8", scene=sc,
+                    extra={"tracer_refine_mode": "bisect",
+                           "tracer_n_refine": 8},
+                    expect_kernels={"nero_smarch_s20_r8": True,
+                                    "nero_smarch_s20_r3i": False})
+        run_variant(f"{sc}_refine_illinois3", scene=sc,
+                    extra={"tracer_refine_mode": "illinois",
+                           "tracer_n_refine": 3},
+                    expect_kernels={"nero_smarch_s20_r3i": True,
+                                    "nero_smarch_s20_r8": False})
+
+
 def speed():
     from tools.ceiling_stage2 import run_variant
     for scene in ("sphere", "bowl"):
@@ -168,3 +238,5 @@ if __name__ == "__main__":
         speed()
     if which == "topology":
         topology(sys.argv[2] if len(sys.argv) > 2 else "bowl")
+    if which == "refine":
+        refine(sys.argv[2] if len(sys.argv) > 2 else "bowl")
