@@ -215,6 +215,73 @@ def refine(scene="bowl"):
                                     "nero_smarch_s20_r8": False})
 
 
+def refine_fine():
+    """Joint (n_sphere, n_refine) sweep with Illinois refinement: the s20
+    agreement headroom (0.9892 vs the 0.98 bar on the current bowl
+    distill) may fund fewer sphere iterations on top of the Illinois
+    refine win. Quality on the bowl mesh (the cavity regime where the bar
+    binds), then step time on both scenes for variants that pass."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nero_tpu.geometry.neural_tracer import NeuralTracer, neural_trace
+    from tools.sweep_march_samples import bowl_mesh
+
+    on_tpu = jax.default_backend() == "tpu"
+    verts, tris = bowl_mesh()
+    tracer = NeuralTracer(verts, tris, distill_steps=3000, cache=True,
+                          verbose=True)
+    margin = max(0.002, 3.0 * float(tracer.distill_rms))
+    rng = np.random.RandomState(0)
+    n = 8192
+    ti = rng.randint(0, len(tris), n)
+    u, v = rng.rand(n, 1), rng.rand(n, 1)
+    flip = (u + v) > 1
+    u = np.where(flip, 1 - u, u)
+    v = np.where(flip, 1 - v, v)
+    p = (verts[tris[ti, 0]] + u * (verts[tris[ti, 1]] - verts[tris[ti, 0]])
+         + v * (verts[tris[ti, 2]] - verts[tris[ti, 0]]))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = (p + d * 1e-3).astype(np.float32)
+    _, _, dc, hc = tracer.trace_cpu(o, d)
+    hc = np.asarray(hc, bool)
+    dc = np.asarray(dc).reshape(-1)
+    clear = (~hc) | (dc > 0.05)
+
+    passing = []
+    for ns, nr in ((20, 3), (20, 2), (19, 3), (18, 3), (18, 2), (16, 3)):
+        t, _, hit = neural_trace(
+            tracer.field_params, tracer.packed, jnp.asarray(o),
+            jnp.asarray(d), tracer.bound, tracer.far, use_fused=on_tpu,
+            march_mode="sphere", n_sphere=ns, n_coarse=32, margin=margin,
+            refine="illinois", n_refine=nr)
+        hg = np.asarray(hit, bool)
+        tg = np.asarray(t)
+        agree = float((hg == hc)[clear].mean())
+        both = clear & hc & hg & (tg > 0.05)
+        depth_mae = float(np.abs(tg[both] - dc[both]).mean()) if both.any() \
+            else float("nan")
+        ok = agree >= 0.98
+        print(json.dumps({"variant": f"bowl_s{ns}_r{nr}i",
+                          "clearing_agreement": round(agree, 4),
+                          "depth_mae": round(depth_mae, 5),
+                          "passes_bar": ok}), flush=True)
+        if ok:
+            passing.append((ns, nr))
+
+    from tools.ceiling_stage2 import run_variant
+    # step-time the cheapest two passing variants on both scenes
+    for ns, nr in sorted(passing, key=lambda x: x[0] + x[1])[:2]:
+        for sc in ("sphere", "bowl"):
+            run_variant(f"{sc}_s{ns}_r{nr}i", scene=sc,
+                        extra={"tracer_n_sphere": ns,
+                               "tracer_refine_mode": "illinois",
+                               "tracer_n_refine": nr},
+                        expect_kernels={f"nero_smarch_s{ns}_r{nr}i": True})
+
+
 def speed():
     from tools.ceiling_stage2 import run_variant
     for scene in ("sphere", "bowl"):
@@ -240,3 +307,5 @@ if __name__ == "__main__":
         topology(sys.argv[2] if len(sys.argv) > 2 else "bowl")
     if which == "refine":
         refine(sys.argv[2] if len(sys.argv) > 2 else "bowl")
+    if which == "refine_fine":
+        refine_fine()
