@@ -279,8 +279,8 @@ class NeuralTracer:
                  n_refine: int = 8, seed: int = 0, verbose: bool = True,
                  use_fused: bool | None = None, cache: bool = True,
                  distill_samples: int = 1_500_000, distill_batch: int = 65536,
-                 march_mode: str = "sphere", n_sphere: int = 20,
-                 field_topology: str = "std", refine_mode: str = "bisect"):
+                 march_mode: str = "sphere", n_sphere: int = 18,
+                 field_topology: str = "std", refine_mode: str = "illinois"):
         self.far = far
         self.n_coarse = n_coarse
         self.n_refine = n_refine

@@ -57,23 +57,26 @@ DEFAULT_MATERIAL_CFG = {
     "tracer_distill_steps": 3000,
     "tracer_n_coarse": 32,
     # 'uniform' = fixed n_coarse-sample scan; 'sphere' = fixed n_sphere-
-    # iteration sphere trace of the distilled SDF (same bracket+bisect at
-    # 28/40 of the field evals; ops/pallas/march_kernel.py). Measured on
-    # v5e (tools/ab_sphere_march.py): s20 clearing-ray agreement 0.9822 vs
-    # 0.9834 uniform-c32 on the concave bowl mesh (parity; s16 degrades to
-    # 0.963 — iteration-starved in the cavity), step 58.4 -> 52.1 ms bowl,
-    # 50.3 -> 44.5 ms sphere scene. TPU default; the non-fused (CPU) path
+    # iteration sphere trace of the distilled SDF (same bracket contract at
+    # a fraction of the field evals; ops/pallas/march_kernel.py). Iteration
+    # budget measured on v5e (tools/ab_sphere_march.py refine_fine,
+    # data/r5_tpu/ab_refine_fine.log): s18 clearing-ray agreement 0.9856 on
+    # the concave bowl mesh (bar 0.98; s16 fails at 0.9734), uniform-c32
+    # parity per the round-4 sweep. TPU default; the non-fused (CPU) path
     # always marches uniformly.
     "tracer_march_mode": "sphere",
-    "tracer_n_sphere": 20,
-    # bracket refinement after the march: 'bisect' (n_refine halvings) or
-    # 'illinois' (bracketed regula falsi — superlinear on the smooth
-    # distilled MLP, so 3 evals reach the field-error depth floor that
-    # bisection needs 8 for; ops/pallas/march_kernel.py::_illinois_refine).
-    # Fused sphere march only; quality-gated by tools/ab_sphere_march.py
-    # refine (clearing agreement is march-determined and unaffected).
-    "tracer_refine_mode": "bisect",
-    "tracer_n_refine": 8,
+    "tracer_n_sphere": 18,
+    # bracket refinement after the march: 'illinois' (bracketed regula
+    # falsi — superlinear on the smooth distilled MLP, so 2 evals + a free
+    # final secant reach the field-error depth floor that bisection needs
+    # 8 for; ops/pallas/march_kernel.py::_illinois_refine) or 'bisect'.
+    # Fused sphere march only. Measured (ab_sphere_march refine +
+    # refine_fine, v5e): depth MAE at the floor in every arm (bowl 0.00174
+    # vs 0.00169 bisect-8, mirror 0.00084 = parity), hits bit-identical;
+    # s18+illinois2 = 20 field evals/ray vs the old s20+bisect8's 28:
+    # bowl step 52.4 -> 48.6 ms (10.5k pts/s), sphere 45.4 -> 41.1 ms.
+    "tracer_refine_mode": "illinois",
+    "tracer_n_refine": 2,
     # distilled-field topology: 'std' (PE6 -> 4x128 MLP) or 'wide' (finer
     # dual-chain PE folded into a K=123 first layer, one hidden layer fewer
     # -> 3 full-K matmuls/eval instead of 4; geometry/neural_tracer.py).
