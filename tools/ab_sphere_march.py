@@ -6,7 +6,14 @@ sphere n_sphere in {20,16,12} — all with n_refine=8 bisections.
 Speed: the full Stage-II train step (bench.py workload) on the convex sphere
 AND concave bowl procedural scenes under each march mode.
 
-Usage: python tools/ab_sphere_march.py [quality|speed|all]
+Additional modes (each with HLO-verified step arms):
+  topology    — std vs wide distilled-field topology (VERDICT r4 next #2;
+                measured: wide REJECTED, see IMPLEMENTATION_NOTES round 5)
+  refine      — bisect-8 vs Illinois-{3,2} bracket refinement
+  refine_fine — joint (n_sphere, n_refine) Illinois sweep that set the
+                s18+illinois2 production default
+
+Usage: python tools/ab_sphere_march.py [quality|speed|all|topology|refine|refine_fine]
 """
 import json
 import os
