@@ -188,8 +188,10 @@ def predict_materials(params, points, feature_vectors, fused: bool = False):
 
 def fused_shader_supported(cfg: AppShadingConfig) -> bool:
     """Topology the whole-shader kernel handles (backend gating lives in
-    `_fused_shader_active`; tests drive the kernel in interpret mode)."""
-    return (not cfg.human_light) and cfg.feats_dim == 256 and cfg.ide_deg <= 5
+    `_fused_shader_active`; tests drive the kernel in interpret mode).
+    human_light is supported since round 5: the camera-plane intersection +
+    IPE + 7th head run in-kernel (shader_kernel.py::_human_block)."""
+    return cfg.feats_dim == 256 and cfg.ide_deg <= 5
 
 
 _warned_fused_shader_downgrade = False
@@ -223,7 +225,12 @@ def _fused_shader_active(cfg: AppShadingConfig) -> bool:
     except Exception:
         on_tpu = False
     if cfg.fused_shader is None:
+        # the human_light (GlossyReal) leg of the kernel is built and
+        # parity-tested but auto stays off for it until its TPU step A/B
+        # + training gate pass (the round-4 lesson: no ungated defaults);
+        # fused_shader=True opts in
         return (on_tpu and fused_shader_supported(cfg)
+                and not cfg.human_light
                 and current_hidden_dtype() == jnp.bfloat16)
     if cfg.fused_shader and not (on_tpu and fused_shader_supported(cfg)):
         global _warned_fused_shader_downgrade
@@ -243,7 +250,8 @@ def _fused_shader_active(cfg: AppShadingConfig) -> bool:
 
 
 def _app_shading_apply_fused(params, cfg, fg_lut, points, normals, view_dirs,
-                             feature_vectors, inter_results, interpret=False):
+                             feature_vectors, human_poses, inter_results,
+                             interpret=False):
     """Whole-shader Pallas path: raw head outputs from the kernel, final
     activations + split-sum combine here (identical math to the XLA path
     below — keep the two in lockstep)."""
@@ -251,7 +259,8 @@ def _app_shading_apply_fused(params, cfg, fg_lut, points, normals, view_dirs,
     from nero_tpu.ops.pallas.shader_kernel import shader_fused_raw
 
     raw = shader_fused_raw(params, cfg, points, normals, view_dirs,
-                           feature_vectors, interpret=interpret)
+                           feature_vectors, human_poses=human_poses,
+                           interpret=interpret)
     metallic = jax.nn.sigmoid(raw["metallic_z"])
     roughness = jax.nn.sigmoid(raw["roughness_z"])
     albedo = jax.nn.sigmoid(raw["albedo_z"])
@@ -262,7 +271,19 @@ def _app_shading_apply_fused(params, cfg, fg_lut, points, normals, view_dirs,
     occ_prob_c = jnp.clip(occ_prob, 0.0, 1.0)
     reflective = raw["reflective"]
 
-    specular_light = indirect_raw * occ_prob_c + direct_light * (1 - occ_prob_c)
+    if cfg.human_light:
+        # exp clamped at 0 (reference make_predictor exp_max=0.0), hit mask
+        # applied to the ACTIVATED output — parity with predict_human_light
+        human = exp_activation(raw["human_z"], 0.0) * raw["human_hits"]
+        human_light = human[..., :3]
+        human_weight = jnp.clip(human[..., 3:], 0.0, 1.0)
+        direct_mix = (human_light * human_weight
+                      + direct_light * (1 - human_weight))
+    else:
+        human_light, human_weight = 0.0, 0.0
+        direct_mix = direct_light
+
+    specular_light = indirect_raw * occ_prob_c + direct_mix * (1 - occ_prob_c)
     indirect_light = indirect_raw * occ_prob_c
     diffuse_albedo = (1 - metallic) * albedo
     diffuse_color = diffuse_albedo * diffuse_light
@@ -289,6 +310,8 @@ def _app_shading_apply_fused(params, cfg, fg_lut, points, normals, view_dirs,
         "occ_prob": jnp.clip(occ_prob, 0.0, 1.0),
         "indirect_light": indirect_light,
     }
+    if cfg.human_light:
+        inter["human_light"] = linear_to_srgb(human_light * human_weight)
     return color, occ_info, inter
 
 
@@ -297,7 +320,8 @@ def app_shading_apply(params, cfg: AppShadingConfig, fg_lut, points, normals, vi
     """Shade surface samples; returns (color_srgb, occ_info[, intermediates])."""
     if _fused_shader_active(cfg):
         return _app_shading_apply_fused(params, cfg, fg_lut, points, normals,
-                                        view_dirs, feature_vectors, inter_results)
+                                        view_dirs, feature_vectors,
+                                        human_poses, inter_results)
     normals = normals / jnp.maximum(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
     view_dirs = view_dirs / jnp.maximum(jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-12)
     reflective = jnp.sum(view_dirs * normals, -1, keepdims=True) * normals * 2 - view_dirs

@@ -34,10 +34,14 @@ a VPU-wide polar evaluation — see `_ide_block`. Narrow [N,1] chains waste
 of this kernel measured 2.2x slower than XLA's forward for exactly that
 reason, the wide form measures faster than XLA.
 
-Supported topology: feats_dim=256, 4-layer 256-wide heads, human_light off
-(the camera-plane IPE path keeps per-point [3,4] poses; real-scene configs
-fall back to the XLA path). `sphere_direction` IS supported (it only widens
-the outer-light head input 72->144 and adds elementwise sphere geometry).
+Supported topology: feats_dim=256, 4-layer 256-wide heads.
+`sphere_direction` IS supported (it only widens the outer-light head input
+72->144 and adds elementwise sphere geometry), and since round 5 so is
+`human_light` (the GlossyReal regime): the per-point [3,4] camera poses
+ride as 12 extra geometry channels (GEO_H=24), and the camera-plane
+intersection + mip-NeRF IPE + the 7th head run in-kernel (_human_block) —
+all elementwise VPU work plus one more head matmul chain, with the exp
+activation, hit mask, and human/direct mixing outside in XLA.
 """
 from __future__ import annotations
 
@@ -57,11 +61,20 @@ from nero_tpu.utils.encodings import _ide_tables, ide_dim, positional_encode_dim
 BB = 512          # rows per program
 HID = 256
 GEO = 16          # packed geometry channels: pts 0:3, normal 3:6, view 6:9
+GEO_H = 24        # + human camera poses: R row-major 9:18, t 18:21, pad
 OUT = 24          # packed raw outputs, see _unpack_out
 N_CONST_ROWS = 40
 
 HEAD_ORDER = ("metallic", "roughness", "albedo", "outer_light",
               "inner_light", "inner_weight")
+# the GlossyReal camera-plane ("human") light head rides as a 7th head
+# when cfg.human_light — its IPE encoding + plane intersection run
+# in-kernel (see _human_block)
+HEAD_ORDER_HUMAN = HEAD_ORDER + ("human_light",)
+
+
+def _heads(human: bool):
+    return HEAD_ORDER_HUMAN if human else HEAD_ORDER
 
 
 def _bf(a):
@@ -203,18 +216,58 @@ def _pad_cols(a, width: int):
 # ---------------------------------------------------------------------------
 
 
+def _human_block(p_human, geo, pts, reflective, roughness):
+    """Camera-plane ("human") light head, parity with
+    fields/app_shading.py::predict_human_light: rigid transform into the
+    camera frame (pose rows packed in geo 9:21), XoY-plane intersection,
+    mip-NeRF IPE of the masked 2-D hit (6 octaves, diagonal Gaussian with
+    roughness-scaled variance — expected_sin is elementwise, VPU-wide),
+    then the standard 4-layer head. Returns (human_z [BB,4], hitsf [BB,1]);
+    the exp activation + hit mask + mixing run outside in XLA."""
+    R = [geo[:, 9 + 3 * i:12 + 3 * i] for i in range(3)]   # rows of R
+    t = geo[:, 18:21]
+    dot = lambda a, b: jnp.sum(a * b, axis=-1, keepdims=True)
+    pts_h = jnp.concatenate([dot(R[i], pts) for i in range(3)], -1) + t
+    dirs_h = jnp.concatenate([dot(R[i], reflective) for i in range(3)], -1)
+    hits = jnp.abs(dirs_h[:, 2:3]) > 1e-4
+    dirs_z = jnp.where(hits, dirs_h[:, 2:3], 1e-4)
+    dist = -pts_h[:, 2:3] / dirs_z
+    inter_xy = pts_h[:, 0:2] + dist * dirs_h[:, 0:2]
+    scale = 0.3
+    mean = inter_xy * scale
+    var = roughness * (dist * scale) ** 2
+    hits = hits & (jnp.sqrt(jnp.sum(mean * mean, -1, keepdims=True)) < 1.5) \
+        & (dist > 0)
+    hitsf = hits.astype(mean.dtype)
+    mean = mean * hitsf
+    var = var * hitsf
+    # IPE, deg 0..5: ordering matches utils/encodings.py::
+    # integrated_pos_encode — all sin rows (octave-major, dim-minor), then
+    # all cos rows; E[sin] over the Gaussian = exp(-var/2) sin(mean)
+    sins, coss = [], []
+    for i in range(6):
+        s = 2.0 ** i
+        att = jnp.exp(-0.5 * var * (s * s))
+        sins.append(att * jnp.sin(mean * s))
+        coss.append(att * jnp.cos(mean * s))
+    ipe = jnp.concatenate(sins + coss, axis=-1)            # [BB, 24]
+    human_z = _head_fwd(p_human, _pad_cols(ipe, p_human[0].shape[0]))[:, 0:4]
+    return human_z, hitsf
+
+
 def _shader_block(params, geo, feats, const, *, deg: int, pos_freq: int,
-                  sphere_direction: bool):
-    """params: list of 6 head tuples. geo [BB,GEO], feats [BB,256].
-    Returns packed [BB, OUT] raw outputs:
+                  sphere_direction: bool, human: bool = False):
+    """params: list of 6 (7 with human_light) head tuples. geo [BB,GEO or
+    GEO_H], feats [BB,256]. Returns packed [BB, OUT] raw outputs:
       0 metallic_z | 1 roughness_z | 2:5 albedo_z | 5:8 diffuse_light_z |
       8:11 direct_light_z | 11:14 inner_light_z | 14 occ_z |
-      15:18 reflective | 18 NoV | 19:24 zero pad
+      15:18 reflective | 18 NoV | 19:23 human_z | 23 human hitsf
+      (19:24 zero pad when human_light is off)
     Raw = pre-(sigmoid/exp/affine) head outputs; the final activations and
     the split-sum combine run outside in XLA (cheap [N,<=3] elementwise).
     """
     _, l_max, n_ml = _ide_consts_np(deg)
-    p_met, p_rough, p_alb, p_outer, p_inner, p_occ = params
+    p_met, p_rough, p_alb, p_outer, p_inner, p_occ = params[:6]
 
     pts = geo[:, 0:3]
     normals = _normalize(geo[:, 3:6])
@@ -268,9 +321,15 @@ def _shader_block(params, geo, feats, const, *, deg: int, pos_freq: int,
     occ_in = jax.lax.stop_gradient(jnp.concatenate([pe_pts, pe_ref], axis=-1))
     occ_z = _head_fwd(p_occ, _pad_cols(occ_in, p_occ[0].shape[0]))[:, 0:1]
 
+    if human:
+        human_z, hitsf = _human_block(params[6], geo, pts, reflective,
+                                      roughness)
+        tail = jnp.concatenate([human_z, hitsf], axis=-1)
+    else:
+        tail = jnp.zeros((geo.shape[0], OUT - 19), geo.dtype)
     return jnp.concatenate(
         [metallic_z, roughness_z, albedo_z, diffuse_z, direct_z, inner_z,
-         occ_z, reflective, NoV, jnp.zeros_like(geo[:, :OUT - 19])], axis=-1)
+         occ_z, reflective, NoV, tail], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -279,17 +338,18 @@ def _shader_block(params, geo, feats, const, *, deg: int, pos_freq: int,
 
 
 def _fwd_kernel(geo_ref, feats_ref, const_ref, *rest, deg, pos_freq,
-                sphere_direction):
+                sphere_direction, human):
     param_refs, out_ref = rest[:-1], rest[-1]
     params = _unflatten_params([r[...] for r in param_refs])
     out_ref[...] = _shader_block(params, geo_ref[...], feats_ref[...],
                                  const_ref[...], deg=deg, pos_freq=pos_freq,
-                                 sphere_direction=sphere_direction)
+                                 sphere_direction=sphere_direction,
+                                 human=human)
 
 
 def _bwd_kernel(geo_ref, feats_ref, const_ref, *rest, deg, pos_freq,
-                sphere_direction):
-    n_p = 5 * len(HEAD_ORDER)
+                sphere_direction, human):
+    n_p = 5 * len(_heads(human))
     param_refs = rest[:n_p]
     gout_ref = rest[n_p]
     dgeo_ref, dfeats_ref = rest[n_p + 1], rest[n_p + 2]
@@ -308,7 +368,7 @@ def _bwd_kernel(geo_ref, feats_ref, const_ref, *rest, deg, pos_freq,
     def f(flat_vals, geo, feats):
         return _shader_block(_unflatten_params(flat_vals), geo, feats, const,
                              deg=deg, pos_freq=pos_freq,
-                             sphere_direction=sphere_direction)
+                             sphere_direction=sphere_direction, human=human)
 
     _, vjp = jax.vjp(f, flat, geo_ref[...], feats_ref[...])
     dflat, dgeo, dfeats = vjp(gout_ref[...])
@@ -319,7 +379,7 @@ def _bwd_kernel(geo_ref, feats_ref, const_ref, *rest, deg, pos_freq,
 
 
 def _unflatten_params(flat):
-    return [tuple(flat[5 * i:5 * i + 5]) for i in range(len(HEAD_ORDER))]
+    return [tuple(flat[5 * i:5 * i + 5]) for i in range(len(flat) // 5)]
 
 
 # ---------------------------------------------------------------------------
@@ -336,7 +396,8 @@ def _head_dims(cfg):
     f = cfg.feats_dim
     return {"metallic": (f + 3, 1), "roughness": (f + 3, 1),
             "albedo": (f + 3, 3), "outer_light": (outer, 3),
-            "inner_light": (pos + sph, 3), "inner_weight": (pos + ref, 1)}
+            "inner_light": (pos + sph, 3), "inner_weight": (pos + ref, 1),
+            "human_light": (2 * 2 * 6, 4)}
 
 
 def pack_shader_params(params, cfg):
@@ -349,7 +410,7 @@ def pack_shader_params(params, cfg):
     """
     dims = _head_dims(cfg)
     flat = []
-    for name in HEAD_ORDER:
+    for name in _heads(cfg.human_light):
         layers = resolve_weight_norm(params[name])
         d_in, d_out = dims[name]
         ws = [l["w"] for l in layers]
@@ -399,14 +460,16 @@ def _flops_per_row(flat, deg, sphere_direction) -> int:
 def _fwd_call(geo, feats, const, flat, deg, pos_freq, sphere_direction,
               interpret=False):
     n = geo.shape[0]
+    gw = geo.shape[1]                      # GEO, or GEO_H with human poses
     kern = functools.partial(_fwd_kernel, deg=deg, pos_freq=pos_freq,
-                             sphere_direction=sphere_direction)
+                             sphere_direction=sphere_direction,
+                             human=gw > GEO)
     return pl.pallas_call(
         kern,
         name=f"nero_shader_fwd_f{_flops_per_row(flat, deg, sphere_direction)}",
         out_shape=jax.ShapeDtypeStruct((n, OUT), jnp.float32),
         grid=(n // BB,),
-        in_specs=[_row_spec(GEO), _row_spec(HID), _vspec()] + [_vspec()] * len(flat),
+        in_specs=[_row_spec(gw), _row_spec(HID), _vspec()] + [_vspec()] * len(flat),
         out_specs=_row_spec(OUT),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -419,8 +482,10 @@ def _fwd_call(geo, feats, const, flat, deg, pos_freq, sphere_direction,
 def _bwd_call(geo, feats, const, flat, gout, deg, pos_freq, sphere_direction,
               interpret=False):
     n = geo.shape[0]
+    gw = geo.shape[1]                      # GEO, or GEO_H with human poses
     kern = functools.partial(_bwd_kernel, deg=deg, pos_freq=pos_freq,
-                             sphere_direction=sphere_direction)
+                             sphere_direction=sphere_direction,
+                             human=gw > GEO)
     acc_shapes = tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat)
     acc_specs = tuple(
         pl.BlockSpec(w.shape, lambda i, _s=w.shape: tuple([0] * len(_s)),
@@ -429,12 +494,12 @@ def _bwd_call(geo, feats, const, flat, gout, deg, pos_freq, sphere_direction,
     return pl.pallas_call(
         kern,
         name=f"nero_shader_bwd_f{3 * _flops_per_row(flat, deg, sphere_direction)}",
-        out_shape=(jax.ShapeDtypeStruct((n, GEO), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((n, gw), jnp.float32),
                    jax.ShapeDtypeStruct((n, HID), jnp.float32)) + acc_shapes,
         grid=(n // BB,),
-        in_specs=[_row_spec(GEO), _row_spec(HID), _vspec()]
+        in_specs=[_row_spec(gw), _row_spec(HID), _vspec()]
                  + [_vspec()] * len(flat) + [_row_spec(OUT)],
-        out_specs=(_row_spec(GEO), _row_spec(HID)) + acc_specs,
+        out_specs=(_row_spec(gw), _row_spec(HID)) + acc_specs,
         # the vjp residuals of all six heads are live at once; v5e's
         # physical VMEM (128M) is far above Mosaic's default 16M scoped cap
         compiler_params=pltpu.CompilerParams(
@@ -478,15 +543,20 @@ _shader_core.defvjp(_shader_core_fwd, _shader_core_bwd)
 # accumulators): pad with a point inside the sphere and unit axes
 _SAFE_GEO_ROW = np.array([0.0, 0.0, 0.5, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0]
                          + [0.0] * (GEO - 9), np.float32)
+# human layout: + identity R, t=0 (plane dist < 0 -> hitsf 0, all finite)
+_SAFE_GEO_ROW_H = np.array(
+    list(_SAFE_GEO_ROW[:9]) + [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    + [0.0] * (GEO_H - 18), np.float32)
 
 
 def shader_fused_raw(params, cfg, points, normals, view_dirs, feats,
-                     interpret: bool = False):
+                     human_poses=None, interpret: bool = False):
     """Fused shader raw outputs as a dict of [..., c] arrays.
 
-    Gradients flow to `params` (all six heads), points, normals, view_dirs
-    and feats. The caller applies final activations + split-sum combine
-    (fields/app_shading.py::_combine_from_raw) for exact XLA-path parity.
+    Gradients flow to `params` (all heads), points, normals, view_dirs,
+    feats (and human_poses when cfg.human_light). The caller applies final
+    activations + split-sum combine (fields/app_shading.py::
+    _app_shading_apply_fused) for exact XLA-path parity.
     """
     shape = points.shape[:-1]
     n = int(np.prod(shape))
@@ -494,13 +564,23 @@ def shader_fused_raw(params, cfg, points, normals, view_dirs, feats,
     from nero_tpu.ops.pallas.interp import resolve
     interpret = resolve(interpret)
 
-    geo = jnp.concatenate([
-        points.reshape(n, 3), normals.reshape(n, 3), view_dirs.reshape(n, 3),
-        jnp.zeros((n, GEO - 9), points.dtype)], axis=-1).astype(jnp.float32)
+    human = bool(cfg.human_light)
+    cols = [points.reshape(n, 3), normals.reshape(n, 3),
+            view_dirs.reshape(n, 3)]
+    if human:
+        poses = jnp.broadcast_to(human_poses,
+                                 shape + (3, 4)).reshape(n, 3, 4)
+        # pose channels: R row-major 9:18, t 18:21 (see _human_block)
+        cols += [poses[:, :, :3].reshape(n, 9), poses[:, :, 3]]
+    gw = GEO_H if human else GEO
+    used = 21 if human else 9
+    cols.append(jnp.zeros((n, gw - used), points.dtype))
+    geo = jnp.concatenate(cols, axis=-1).astype(jnp.float32)
     n_pad = (-n) % BB
     if n_pad:
+        safe = _SAFE_GEO_ROW_H if human else _SAFE_GEO_ROW
         geo = jnp.concatenate(
-            [geo, jnp.broadcast_to(jnp.asarray(_SAFE_GEO_ROW), (n_pad, GEO))])
+            [geo, jnp.broadcast_to(jnp.asarray(safe), (n_pad, gw))])
     f = feats.reshape(n, -1).astype(jnp.float32)
     assert f.shape[1] == HID, f.shape
     if n_pad:
@@ -509,13 +589,17 @@ def shader_fused_raw(params, cfg, points, normals, view_dirs, feats,
     out = _shader_core(flat, geo, f, cfg.ide_deg, cfg.light_pos_freq,
                        bool(cfg.sphere_direction), interpret)[:n]
     rs = lambda a: a.reshape(*shape, a.shape[-1])
-    return {
+    raw = {
         "metallic_z": rs(out[:, 0:1]), "roughness_z": rs(out[:, 1:2]),
         "albedo_z": rs(out[:, 2:5]), "diffuse_light_z": rs(out[:, 5:8]),
         "direct_light_z": rs(out[:, 8:11]), "inner_light_z": rs(out[:, 11:14]),
         "occ_z": rs(out[:, 14:15]), "reflective": rs(out[:, 15:18]),
         "NoV": rs(out[:, 18:19]),
     }
+    if human:
+        raw["human_z"] = rs(out[:, 19:23])
+        raw["human_hits"] = rs(jax.lax.stop_gradient(out[:, 23:24]))
+    return raw
 
 
 # ---------------------------------------------------------------------------

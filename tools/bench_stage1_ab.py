@@ -147,6 +147,28 @@ def main():
                                    "shader_config": {"fused_shader": True},
                                    "expect_kernels": {"nero_shader": True}}),
         ]
+    if len(_sys.argv) > 1 and _sys.argv[1] == "shader_human":
+        # the GlossyReal regime (human_light + sphere_direction, the
+        # stage1_real bench workload): XLA shader vs the fused kernel's
+        # human leg (_human_block). Auto keeps human configs on XLA until
+        # this A/B + the training gate pass; the fused arms opt in.
+        _real = {"human_light": True, "sphere_direction": True}
+        variants = [
+            ("shader_human_xla_512",
+             {"shader_config": dict(_real, fused_shader=False),
+              "expect_kernels": {"nero_shader": False}}),
+            ("shader_human_fused_512",
+             {"shader_config": dict(_real, fused_shader=True),
+              "expect_kernels": {"nero_shader": True}}),
+            ("shader_human_xla_2048",
+             {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
+              "shader_config": dict(_real, fused_shader=False),
+              "expect_kernels": {"nero_shader": False}}),
+            ("shader_human_fused_2048",
+             {"train_ray_num": 2048, "occ_loss_max_pn": 8192,
+              "shader_config": dict(_real, fused_shader=True),
+              "expect_kernels": {"nero_shader": True}}),
+        ]
     if len(_sys.argv) > 1 and _sys.argv[1] == "grad":
         # rev-mode VJP vs the fused SDF-with-grad Pallas kernel. The rev arms
         # pin sdf_grad_mode explicitly: on TPU an empty config auto-resolves

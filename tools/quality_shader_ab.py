@@ -8,7 +8,10 @@ kernel additionally stores HEAD WEIGHTS in bf16 (the XLA bf16_hidden path
 only casts activations), so the bar is "identical per-step learning within
 run-to-run noise".
 
-Usage: python tools/quality_shader_ab.py [steps=2000] [seed=0]
+Usage: python tools/quality_shader_ab.py [steps=2000] [seed=0] [human]
+  `human` switches to the GlossyReal regime gate: the capture scene
+  (camera-collocated light) with human_light + sphere_direction, XLA vs
+  the kernel's human leg (shader_kernel.py::_human_block).
 """
 import json
 import os
@@ -17,7 +20,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(fused: bool, n_steps: int, seed: int = 0):
+def run(fused: bool, n_steps: int, seed: int = 0, human: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -28,15 +31,19 @@ def run(fused: bool, n_steps: int, seed: int = 0):
     from nero_tpu.utils.image import compute_psnr
     from nero_tpu.core import mfu
 
-    mode = "fused" if fused else "xla"
+    mode = ("human_" if human else "") + ("fused" if fused else "xla")
+    scene = "capture" if human else "bowl"
+    shader = {"fused_shader": fused}
+    if human:
+        shader.update({"human_light": True, "sphere_direction": True})
     cfg = {
         "name": f"qshader_{mode}_{seed}", "network": "shape",
-        "database_name": "proc/bowl/100_12",
+        "database_name": f"proc/{scene}/100_12",
         "train_ray_num": 512,
         "occ_loss_step": n_steps // 2,
         "loss": ["nerf_render", "eikonal", "std", "init_sdf_reg", "occ"],
         "key_metric_name": "psnr",
-        "shader_config": {"fused_shader": fused},
+        "shader_config": shader,
         "downsample_ratio": 0.5,
     }
     model = NeROShapeModel(cfg, training=True)
@@ -78,10 +85,10 @@ def run(fused: bool, n_steps: int, seed: int = 0):
     verts, tris = extract_geometry(
         [-1.01] * 3, [1.01] * 3, 128, 0.0,
         lambda p: sdf_value(params["sdf"], p, scfg.sdf_cfg))
-    gt_pts = get_database_eval_points(parse_database_name("proc/bowl/256_24"),
+    gt_pts = get_database_eval_points(parse_database_name(f"proc/{scene}/256_24"),
                                       voxel_size=0.005)
     chamfer, _, _ = chamfer_distance(np.asarray(verts), gt_pts)
-    sdf_mae = float(np.abs(scene_sdf("bowl")(np.asarray(verts))).mean())
+    sdf_mae = float(np.abs(scene_sdf(scene)(np.asarray(verts))).mean())
     rec = {"mode": mode, "seed": seed, "final_psnr": round(float(psnr), 3),
            "chamfer": round(float(chamfer), 5),
            "mesh_sdf_mae": round(sdf_mae, 5), "curve": curve}
@@ -92,8 +99,10 @@ def run(fused: bool, n_steps: int, seed: int = 0):
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    recs = [run(False, n_steps, seed), run(True, n_steps, seed)]
-    out = f"data/evidence/quality_shader_ab_{n_steps}.json"
+    human = "human" in sys.argv[3:]
+    recs = [run(False, n_steps, seed, human), run(True, n_steps, seed, human)]
+    tag = "_human" if human else ""
+    out = f"data/evidence/quality_shader_ab{tag}_{n_steps}.json"
     os.makedirs("data/evidence", exist_ok=True)
     with open(out, "w") as f:
         json.dump(recs, f, indent=2)
