@@ -225,10 +225,14 @@ def _fused_shader_active(cfg: AppShadingConfig) -> bool:
     except Exception:
         on_tpu = False
     if cfg.fused_shader is None:
-        # the human_light (GlossyReal) leg of the kernel is built and
-        # parity-tested but auto stays off for it until its TPU step A/B
-        # + training gate pass (the round-4 lesson: no ungated defaults);
-        # fused_shader=True opts in
+        # the human_light (GlossyReal) leg is built + parity-tested but
+        # MEASURED AND REJECTED as a default (tools/bench_stage1_ab.py
+        # shader_human, data/r5_tpu/ab_shader_human.log, v5e): 32.6 ->
+        # 40.5 ms @512 rays, 142 -> 169 @2048 — the camera-plane IPE's
+        # narrow [BB,2] columns waste VPU lanes in-kernel and the 7-head
+        # backward recompute grows, while XLA overlaps the same work.
+        # fused_shader=True opts in (quality-gated: quality_shader_ab
+        # human).
         return (on_tpu and fused_shader_supported(cfg)
                 and not cfg.human_light
                 and current_hidden_dtype() == jnp.bfloat16)
