@@ -27,7 +27,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-BLOCK_R = 4096  # rays per program instance
+# Rays per program instance. A pure partitioning knob — per-ray numerics are
+# identical under any block size — picked by dependent-step train A/B on v5e
+# (tools/ceiling_stage2.py march_block, data/r5_tpu/ceiling2_march_block.log):
+# 2048 -> 42.49 ms, 4096 -> 41.52, 8192 -> 40.83 (+1.7%); 16384 exceeds the
+# 16M scoped-VMEM stack at compile (two [128,16384] f32 intermediates).
+# Standalone kernel timing can NOT pick this knob through the axon tunnel —
+# see tools/tunnel_timing_control.py.
+BLOCK_R = 8192
 FEAT_PAD = 48   # 3 + 6*pe rows padded to a sublane multiple (pe=6 -> 39 -> 48)
 
 

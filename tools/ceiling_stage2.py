@@ -148,6 +148,22 @@ def main():
     elif sweep == "compact":
         run_variant("bowl_auto", scene="bowl", inner_compact="auto")
         run_variant("bowl_off", scene="bowl", inner_compact="off")
+    elif sweep == "march_block":
+        # BLOCK_R is a pure partitioning knob (per-ray numerics identical);
+        # timed here through the dependent train-step loop because
+        # standalone kernel timing is invalid through the axon tunnel —
+        # block_until_ready does not gate on execution of independent
+        # dispatches (tools/tunnel_timing_control.py "measures" a 4096^3
+        # matmul at a physically impossible 4767 TF/s that way).
+        import jax as _jax
+
+        from nero_tpu.ops.pallas import march_kernel as _mk
+        default_block = _mk.BLOCK_R
+        for block in (2048, 4096, 8192):
+            _mk.BLOCK_R = block
+            _jax.clear_caches()
+            run_variant(f"march_block{block}")
+        _mk.BLOCK_R = default_block
     else:
         raise SystemExit(f"unknown sweep {sweep}")
 
